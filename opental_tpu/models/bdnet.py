@@ -1,0 +1,116 @@
+"""BDNet: I3D backbone + coarse-to-fine pyramid + evidential head.
+
+Top-level detection model (reference: AFSD/thumos14/BDNet.py:435-561),
+rebuilt as a pure-functional flax module. The SSL (cut-paste boundary
+triplet) path and the main detection path are separate methods so each
+jits into its own static graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from opental_tpu.models.i3d import InceptionI3d
+from opental_tpu.models.pyramid import CoarsePyramid, expand_boundary_segments
+from opental_tpu.ops.boundary_pool import boundary_max_pool
+
+Array = jax.Array
+
+
+def evidence_fn(logit: Array, evidence: str = 'exp') -> Array:
+    """Dirichlet evidence transform (thumos14/BDNet.py:544-550)."""
+    if evidence == 'relu':
+        return nn.relu(logit)
+    if evidence == 'exp':
+        return jnp.exp(jnp.clip(logit, -10.0, 10.0))
+    if evidence == 'softplus':
+        return jax.nn.softplus(logit)
+    raise ValueError(evidence)
+
+
+def dirichlet_uncertainty(logit: Array, evidence: str = 'exp') -> Array:
+    """Vacuity u = K / S with S = sum(alpha), alpha = evidence + 1
+    (thumos14/BDNet.py:552-556)."""
+    k = logit.shape[-1]
+    alpha = evidence_fn(logit, evidence) + 1.0
+    return k / jnp.sum(alpha, axis=-1)
+
+
+def dirichlet_expected_prob(logit: Array, evidence: str = 'exp') -> Array:
+    """Expected class probability alpha / S (thumos14/BDNet.py:558-561)."""
+    alpha = evidence_fn(logit, evidence) + 1.0
+    return alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+
+
+class BDNet(nn.Module):
+    """Boundary detection network for (open-set) TAL.
+
+    Input clips are channels-last (B, T, H, W, C) in [-1, 1].
+    `__call__` returns the reference out_dict (same keys,
+    thumos14/BDNet.py:508-535); `ssl_forward` returns the
+    (anchor, positive, negative) triplet features (:479-503).
+    """
+
+    in_channels: int = 3
+    num_classes: int = 16        # includes background channel
+    os_head: bool = False
+    use_edl: bool = False
+    use_rpl: bool = False
+    evidence: str = 'exp'
+    transformer: bool = False
+    dropout: float = 0.0
+    frame_num: int = 256
+    deterministic: bool = True
+    dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
+
+    @property
+    def head_classes(self) -> int:
+        # os_head drops the background channel (thumos14/BDNet.py:440)
+        return self.num_classes - 1 if self.os_head else self.num_classes
+
+    def setup(self):
+        self.backbone = InceptionI3d(dtype=self.dtype)
+        self.pyramid = CoarsePyramid(
+            num_classes=self.head_classes, frame_num=self.frame_num,
+            os_head=self.os_head, use_rpl=self.use_rpl,
+            transformer=self.transformer, dropout=self.dropout,
+            deterministic=self.deterministic, dtype=self.dtype)
+
+    def __call__(self, x: Array, get_feat: bool = False) -> Dict[str, Any]:
+        feat_dict = self.backbone(x)
+        out = self.pyramid(feat_dict, get_feat=get_feat)
+        if self.use_edl:
+            out['unct'] = dirichlet_uncertainty(out['conf'], self.evidence)
+            out['prop_unct'] = dirichlet_uncertainty(out['prop_conf'],
+                                                     self.evidence)
+        if get_feat:
+            out['conf_feat'] = out['ctr_feat']
+            out['prop_conf_feat'] = out['prop_ctr_feat']
+        return out
+
+    def ssl_forward(self, x: Array, proposals: Array
+                    ) -> Tuple[list, list, list]:
+        """Boundary-contrastive features for the SSL triplet loss.
+
+        proposals: (3, 2) cut-paste segments in frame units (the first
+        batch element's ssl targets, thumos14/BDNet.py:484).
+        Returns per-scale (anchor, positive, negative) feature lists.
+        """
+        feat_dict = self.backbone(x)
+        trip = self.pyramid(feat_dict, ssl=True)['trip']
+        decoded = proposals[None, :, :2]                    # (1, 3, 2)
+        frame_segments = expand_boundary_segments(
+            decoded[..., :1], decoded[..., 1:], plus_one=True)
+        scales = (1.0, 4.0, 4.0)
+        anchor, positive, negative = [], [], []
+        for feat, scale in zip(trip, scales):
+            bound = boundary_max_pool(feat, frame_segments / scale)
+            ndim = bound.shape[-1] // 2                      # (1, 3, C)
+            anchor.append(bound[:, 0, ndim:])
+            positive.append(bound[:, 1, :ndim])
+            negative.append(bound[:, 2, :ndim])
+        return anchor, positive, negative

@@ -1,0 +1,112 @@
+"""Inception-v1 I3D video backbone (flax, channels-last).
+
+Re-design of the reference backbone (AFSD/common/i3d_backbone.py:90-342)
+as a single jitted XLA graph. Input is (B, T, H, W, C); the detection
+pyramid consumes the 'Mixed_4f' (832ch) and 'Mixed_5c' (1024ch) endpoints
+(thumos14/BDNet.py:307-308).
+
+Endpoint and branch names match the public I3D checkpoint key layout
+('Conv3d_1a_7x7', 'Mixed_3b.b1a', ...) so torch checkpoints
+(models/i3d_models/rgb_imagenet.pt) convert mechanically — see
+opental_tpu.utils.torch_convert.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+from flax import linen as nn
+
+from opental_tpu.models.layers import Unit3D, max_pool_3d_same
+
+Array = jax.Array
+
+# (branch output channels) per inception module, keyed by endpoint
+# (i3d_backbone.py:229-295)
+INCEPTION_SPECS: Dict[str, Sequence[int]] = {
+    'Mixed_3b': (64, 96, 128, 16, 32, 32),
+    'Mixed_3c': (128, 128, 192, 32, 96, 64),
+    'Mixed_4b': (192, 96, 208, 16, 48, 64),
+    'Mixed_4c': (160, 112, 224, 24, 64, 64),
+    'Mixed_4d': (128, 128, 256, 24, 64, 64),
+    'Mixed_4e': (112, 144, 288, 32, 64, 64),
+    'Mixed_4f': (256, 160, 320, 32, 128, 128),
+    'Mixed_5b': (256, 160, 320, 32, 128, 128),
+    'Mixed_5c': (384, 192, 384, 48, 128, 128),
+}
+
+# endpoint order up to Mixed_5c (i3d_backbone.py:140-159)
+ENDPOINTS: Tuple[str, ...] = (
+    'Conv3d_1a_7x7', 'MaxPool3d_2a_3x3', 'Conv3d_2b_1x1', 'Conv3d_2c_3x3',
+    'MaxPool3d_3a_3x3', 'Mixed_3b', 'Mixed_3c', 'MaxPool3d_4a_3x3',
+    'Mixed_4b', 'Mixed_4c', 'Mixed_4d', 'Mixed_4e', 'Mixed_4f',
+    'MaxPool3d_5a_2x2', 'Mixed_5b', 'Mixed_5c',
+)
+
+MAXPOOL_SPECS = {
+    'MaxPool3d_2a_3x3': ((1, 3, 3), (1, 2, 2)),
+    'MaxPool3d_3a_3x3': ((1, 3, 3), (1, 2, 2)),
+    'MaxPool3d_4a_3x3': ((3, 3, 3), (2, 2, 2)),
+    'MaxPool3d_5a_2x2': ((2, 2, 2), (2, 2, 2)),
+}
+
+
+class InceptionModule(nn.Module):
+    """4-branch inception block (i3d_backbone.py:90-121)."""
+
+    out_channels: Sequence[int]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        oc = self.out_channels
+        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
+        b0 = Unit3D(oc[0], kernel=(1, 1, 1), name='b0', **kw)(x)
+        b1 = Unit3D(oc[1], kernel=(1, 1, 1), name='b1a', **kw)(x)
+        b1 = Unit3D(oc[2], kernel=(3, 3, 3), name='b1b', **kw)(b1)
+        b2 = Unit3D(oc[3], kernel=(1, 1, 1), name='b2a', **kw)(x)
+        b2 = Unit3D(oc[4], kernel=(3, 3, 3), name='b2b', **kw)(b2)
+        b3 = max_pool_3d_same(x, kernel=(3, 3, 3), stride=(1, 1, 1))
+        b3 = Unit3D(oc[5], kernel=(1, 1, 1), name='b3b', **kw)(b3)
+        return jax.numpy.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionI3d(nn.Module):
+    """I3D feature extractor up to Mixed_5c.
+
+    __call__ returns {'Mixed_4f': (B,T/8,6,6,832),
+                      'Mixed_5c': (B,T/16,3,3,1024)} for 96x96 inputs,
+    i.e. exactly the endpoints the pyramid consumes; pass
+    keep='all' to materialize every endpoint
+    (reference extract_features, i3d_backbone.py:335-342).
+    """
+
+    final_endpoint: str = 'Mixed_5c'
+    keep: Sequence[str] = ('Mixed_4f', 'Mixed_5c')
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Dict[str, Array]:
+        keep = set(ENDPOINTS) if self.keep == 'all' else set(self.keep)
+        out: Dict[str, Array] = {}
+        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
+        for ep in ENDPOINTS:
+            if ep == 'Conv3d_1a_7x7':
+                x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
+                           name=ep, **kw)(x)
+            elif ep == 'Conv3d_2b_1x1':
+                x = Unit3D(64, kernel=(1, 1, 1), name=ep, **kw)(x)
+            elif ep == 'Conv3d_2c_3x3':
+                x = Unit3D(192, kernel=(3, 3, 3), name=ep, **kw)(x)
+            elif ep in MAXPOOL_SPECS:
+                kernel, stride = MAXPOOL_SPECS[ep]
+                x = max_pool_3d_same(x, kernel, stride)
+            else:
+                x = InceptionModule(INCEPTION_SPECS[ep], name=ep,
+                                    dtype=self.dtype)(x)
+            if ep in keep:
+                out[ep] = x
+            if ep == self.final_endpoint:
+                break
+        return out

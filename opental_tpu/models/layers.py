@@ -1,0 +1,310 @@
+"""Neural net building blocks (flax linen, channels-last, TPU-friendly).
+
+Functional re-design of the reference layer library
+(AFSD/common/layers.py, AFSD/common/i3d_backbone.py:7-87). Key differences
+from the torch reference:
+
+* channels-last layouts — (B, T, H, W, C) for video, (B, T, C) for temporal
+  features — so XLA tiles convs straight onto the MXU;
+* TF-style 'same' padding comes from XLA's native SAME semantics instead of
+  dynamic F.pad (the reference's compute_pad, layers.py:137-158, reproduces
+  exactly TF SAME, which is what lax SAME computes);
+* BatchNorm is a frozen affine-with-running-stats op: every shipped config
+  freezes the I3D BN (thumos14/BDNet.py:39-49), so stats/affine live in a
+  non-trainable 'constants' collection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+# Matches torch GroupNorm defaults (the reference wraps every pyramid conv in
+# nn.GroupNorm(32, C), e.g. thumos14/BDNet.py:139).
+GN_EPS = 1e-5
+# Matches torch BatchNorm3d(eps=0.001) in the I3D backbone
+# (i3d_backbone.py:43).
+BN_EPS = 1e-3
+
+glorot_uniform = nn.initializers.xavier_uniform()
+
+
+def _to_tuple(x, n: int) -> Tuple[int, ...]:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n
+        return tuple(x)
+    return (x,) * n
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm evaluated with frozen running statistics.
+
+    y = (x - mean) / sqrt(var + eps) * gamma + beta, with all four tensors
+    held in the non-trainable 'constants' collection. This reproduces the
+    reference's freeze_bn + freeze_bn_affine training mode
+    (thumos14/BDNet.py:39-49) and standard eval-mode BN at inference.
+    """
+
+    features: int
+    eps: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        shape = (self.features,)
+        gamma = self.variable('constants', 'scale', nn.initializers.ones,
+                              None, shape).value
+        beta = self.variable('constants', 'bias', nn.initializers.zeros,
+                             None, shape).value
+        mean = self.variable('constants', 'mean', nn.initializers.zeros,
+                             None, shape).value
+        var = self.variable('constants', 'var', nn.initializers.ones,
+                            None, shape).value
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        scale = (gamma * inv).astype(x.dtype)
+        bias = (beta - mean * gamma * inv).astype(x.dtype)
+        return x * scale + bias
+
+
+class Unit3D(nn.Module):
+    """Conv3D + optional frozen BN + optional activation, TF-SAME padded.
+
+    Covers both reference Unit3D variants: the I3D one
+    (i3d_backbone.py:7-87; always same-padded, BN on) and the pyramid one
+    (layers.py:106-175; 'spatial_valid' pads time only, GroupNorm used
+    outside, bias on).
+    """
+
+    features: int
+    kernel: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (1, 1, 1)
+    padding: str = 'same'            # 'same' | 'spatial_valid' | 'valid'
+    use_bias: bool = False
+    use_batch_norm: bool = True
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = _to_tuple(self.kernel, 3)
+        stride = _to_tuple(self.stride, 3)
+        if self.padding == 'same':
+            pad = 'SAME'
+        elif self.padding == 'spatial_valid':
+            # temporal SAME, spatial VALID (layers.py:161-168)
+            t = x.shape[1]
+            tp = _same_pad_amount(t, kernel[0], stride[0])
+            pad = [tp, (0, 0), (0, 0)]
+        elif self.padding == 'valid':
+            pad = 'VALID'
+        else:
+            raise ValueError(self.padding)
+        x = nn.Conv(self.features, kernel_size=kernel, strides=stride,
+                    padding=pad, use_bias=self.use_bias,
+                    kernel_init=glorot_uniform, dtype=self.dtype,
+                    name='conv')(x)
+        if self.use_batch_norm:
+            x = FrozenBatchNorm(self.features, name='bn')(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class Unit1D(nn.Module):
+    """Conv1D over (B, T, C) + optional activation (layers.py:178-214)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: str = 'same'
+    use_bias: bool = True
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        pad = 'SAME' if self.padding == 'same' else 'VALID'
+        x = nn.Conv(self.features, kernel_size=(self.kernel,),
+                    strides=(self.stride,), padding=pad,
+                    use_bias=self.use_bias, kernel_init=glorot_uniform,
+                    dtype=self.dtype, name='conv')(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def _same_pad_amount(size: int, kernel: int, stride: int) -> Tuple[int, int]:
+    """TF-SAME pad split (front = total // 2), as in layers.py:137-158."""
+    if size % stride == 0:
+        total = max(kernel - stride, 0)
+    else:
+        total = max(kernel - (size % stride), 0)
+    return total // 2, total - total // 2
+
+
+def max_pool_3d_same(x: Array, kernel: Sequence[int],
+                     stride: Sequence[int]) -> Array:
+    """Max-pool over (B, T, H, W, C) with the reference's zero-pad SAME.
+
+    The reference zero-pads then max-pools (layers.py:9-35). All of the I3D
+    pool inputs are post-ReLU (>= 0), so zero padding equals -inf padding —
+    we keep the exact zero-pad semantics regardless.
+    """
+    kernel = _to_tuple(kernel, 3)
+    stride = _to_tuple(stride, 3)
+    pads = [(0, 0)] + [
+        _same_pad_amount(x.shape[1 + i], kernel[i], stride[i])
+        for i in range(3)
+    ] + [(0, 0)]
+    x = jnp.pad(x, pads, mode='constant', constant_values=0)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) + kernel + (1,),
+        window_strides=(1,) + stride + (1,),
+        padding='VALID')
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with torch-parity epsilon (flax default is 1e-6)."""
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=GN_EPS)(x)
+
+
+class ConvGNReLU1D(nn.Module):
+    """Unit1D(activation=None) -> GroupNorm(32) -> ReLU.
+
+    The standard block of the pyramid (thumos14/BDNet.py:156-203).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Unit1D(self.features, kernel=self.kernel, stride=self.stride,
+                   activation=None, dtype=self.dtype, name='conv')(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=GN_EPS, name='gn')(x)
+        return nn.relu(x)
+
+
+class ScaleExp(nn.Module):
+    """exp(x * learnable_scale) (thumos14/BDNet.py:55-61)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param(
+            'scale', lambda key: jnp.array([self.init_value], jnp.float32))
+        return jnp.exp(x * scale.astype(x.dtype))
+
+
+class RPLHead(nn.Module):
+    """Reciprocal-point distance head (layers.py:314-351).
+
+    Input (B, T, C) -> scaled squared-l2 distance to learned class centers,
+    output (B, T, num_classes).
+    """
+
+    num_classes: int
+    num_centers: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        feat_dim = x.shape[-1]
+        centers = self.param(
+            'centers',
+            lambda key: 0.1 * jax.random.normal(
+                key, (self.num_classes * self.num_centers, feat_dim)))
+        f2 = jnp.sum(x * x, axis=-1, keepdims=True)              # (B,T,1)
+        c2 = jnp.sum(centers * centers, axis=-1)                  # (KC,)
+        cross = jnp.einsum('btd,kd->btk', x, centers,
+                           preferred_element_type=jnp.float32)
+        dist = (f2 - 2.0 * cross + c2) / float(feat_dim)          # (B,T,KC)
+        dist = dist.reshape(x.shape[0], x.shape[1],
+                            self.num_classes, self.num_centers)
+        return jnp.mean(dist, axis=-1)
+
+    @staticmethod
+    def get_centers(params) -> Array:
+        return params['centers']
+
+
+def positional_encoding(length: int, d_model: int) -> Array:
+    """Sinusoidal table (layers.py:217-241), shape (length, d_model)."""
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((length, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch-style, ReLU FFN)."""
+
+    d_model: int
+    nheads: int = 8
+    d_ff: int = 256
+    dropout: float = 0.1
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nheads, dropout_rate=self.dropout,
+            deterministic=self.deterministic)(x, x)
+        x = nn.LayerNorm()(x + attn)
+        h = nn.Dense(self.d_ff)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model)(h)
+        return nn.LayerNorm()(x + h)
+
+
+class TransformerHead(nn.Module):
+    """Optional transformer conf head (layers.py:244-311; off in all
+    shipped configs). Input (B, T, C) -> (B, T, num_classes)."""
+
+    num_classes: int
+    nheads: int = 8
+    nlayers: int = 2
+    dropout: float = 0.1
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d_model = x.shape[-1]
+        for _ in range(self.nlayers):
+            x = TransformerEncoderLayer(
+                d_model=d_model, nheads=self.nheads,
+                d_ff=d_model // 2, dropout=self.dropout,
+                deterministic=self.deterministic)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+def interpolate_nearest_1d(x: Array, out_len: int) -> Array:
+    """Nearest-neighbor resize along axis 1 of (B, T, C).
+
+    Matches F.interpolate(mode='nearest') index rule
+    (idx = floor(i * in/out)), used to merge pyramid levels and build the
+    frame-level feature (thumos14/BDNet.py:318,325).
+    """
+    t = x.shape[1]
+    if out_len == t:
+        return x
+    if out_len % t == 0:
+        return jnp.repeat(x, out_len // t, axis=1)
+    idx = (jnp.arange(out_len) * t) // out_len
+    return jnp.take(x, idx, axis=1)
