@@ -1,0 +1,212 @@
+"""Window-batched video inference pipeline.
+
+Reference: the THUMOS test driver (AFSD/thumos14/test.py:203-256) runs one
+sequential GPU forward per 256-frame window, then CPU soft-NMS. Here all
+windows of a video stack into one (W, T, H, W, C) batch for a single
+jitted forward+decode (bucketed W to bound recompiles), and only the
+per-class NMS gather is host-side numpy. Output JSON is bit-compatible
+with test.py:254-256.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opental_tpu.data import transforms
+from opental_tpu.infer.decode import decode_windows, fuse_streams
+from opental_tpu.ops.nms import soft_nms_numpy
+
+
+def window_offsets(sample_count: int, clip_length: int,
+                   stride: int) -> List[int]:
+    """Sliding-window offsets incl. the tail window (test.py:48-56)."""
+    if sample_count < clip_length:
+        return [0]
+    offsets = list(range(0, sample_count - clip_length + 1, stride))
+    if (sample_count - clip_length) % stride:
+        offsets.append(sample_count - clip_length)
+    return offsets
+
+
+def _bucket(n: int, granule: int = 8) -> int:
+    return max(granule, ((n + granule - 1) // granule) * granule)
+
+
+def stack_windows(data: np.ndarray, offsets: Sequence[int],
+                  clip_length: int, pad_value: float = 0.0,
+                  bucket: int = 8) -> np.ndarray:
+    """(T, H, W, C) uint8 video -> (W_padded, clip, H, W, C) float32 in
+    [-1, 1]; zero-pads short tails (test.py:67-76) and pads the window
+    count to a bucket size to bound jit recompiles."""
+    t, h, w, c = data.shape
+    n = len(offsets)
+    n_pad = _bucket(n, bucket)
+    out = np.full((n_pad, clip_length, h, w, c), pad_value, np.float32)
+    for i, off in enumerate(offsets):
+        clip = data[off:off + clip_length].astype(np.float32)
+        clip = (clip / 255.0) * 2.0 - 1.0
+        out[i, :clip.shape[0]] = clip
+    return out
+
+
+class InferencePipeline:
+    """Jitted forward + decode over window batches for one model."""
+
+    def __init__(self, model, variables, clip_length: int = 256,
+                 stride: int = 128, crop_size: int = 96,
+                 conf_thresh: float = 0.01, top_k: int = 5000,
+                 nms_sigma: float = 0.5, use_edl: bool = False,
+                 os_head: bool = False, use_gcpl: bool = False,
+                 evidence: str = 'exp',
+                 flow_model=None, flow_variables=None):
+        self.model = model
+        self.variables = variables
+        self.flow_model = flow_model
+        self.flow_variables = flow_variables
+        self.clip_length = clip_length
+        self.stride = stride
+        self.crop_size = crop_size
+        self.conf_thresh = conf_thresh
+        self.top_k = top_k
+        self.nms_sigma = nms_sigma
+        self.use_edl = use_edl
+        self.os_head = os_head
+        self.use_gcpl = use_gcpl
+        self.evidence = evidence
+        self.num_classes = model.head_classes
+        score_func = 'dirichlet' if use_edl else 'softmax'
+
+        @jax.jit
+        def forward_decode(variables, clips, flow_vars=None,
+                           flow_clips=None):
+            out = model.apply(variables, clips)
+            if flow_model is not None and flow_clips is not None:
+                flow_out = flow_model.apply(flow_vars, flow_clips)
+                out = fuse_streams(out, flow_out)
+            return decode_windows(out, clip_length, use_edl=use_edl,
+                                  os_head=os_head, score_func=score_func,
+                                  evidence=evidence, negate_conf=use_gcpl)
+
+        self._forward_decode = forward_decode
+
+    def run_video(self, data: np.ndarray, sample_count: int,
+                  sample_fps: float, flow_data: Optional[np.ndarray] = None,
+                  max_batch: int = 32) -> List[Dict[str, Any]]:
+        """data: (T, H, W, C) uint8 full video. Returns the per-video
+        proposal list (label idx, score, segment seconds, uncertainty,
+        actionness)."""
+        data = transforms.center_crop(data, self.crop_size)
+        offsets = window_offsets(sample_count, self.clip_length,
+                                 self.stride)
+        clips = stack_windows(data, offsets, self.clip_length)
+        flow_clips = None
+        if flow_data is not None:
+            flow_data = transforms.center_crop(flow_data, self.crop_size)
+            flow_clips = stack_windows(flow_data, offsets, self.clip_length)
+
+        segs, scores, uncts, acts = [], [], [], []
+        for i in range(0, clips.shape[0], max_batch):
+            chunk = jnp.asarray(clips[i:i + max_batch])
+            fchunk = (jnp.asarray(flow_clips[i:i + max_batch])
+                      if flow_clips is not None else None)
+            dec = self._forward_decode(self.variables, chunk,
+                                       self.flow_variables, fchunk)
+            segs.append(np.asarray(dec.segments))
+            scores.append(np.asarray(dec.scores))
+            uncts.append(None if dec.uncertainty is None
+                         else np.asarray(dec.uncertainty))
+            acts.append(None if dec.actionness is None
+                        else np.asarray(dec.actionness))
+        n = len(offsets)
+        segments = np.concatenate(segs)[:n]
+        conf = np.concatenate(scores)[:n]
+        unct = (np.concatenate([u for u in uncts])[:n]
+                if uncts[0] is not None else None)
+        act = (np.concatenate([a for a in acts])[:n]
+               if acts[0] is not None else None)
+
+        # shift windows into video time, in seconds (test.py:120)
+        off = np.asarray(offsets, np.float32)[:, None, None]
+        seconds = (segments + off) / sample_fps
+        return self._post_process(seconds, conf, unct, act)
+
+    def _post_process(self, seconds: np.ndarray, conf: np.ndarray,
+                      unct: Optional[np.ndarray],
+                      act: Optional[np.ndarray]) -> List[Dict[str, Any]]:
+        """Per-class filter + Soft-NMS + top-k (test.py:143-200).
+
+        Returns proposals with integer class index `cls` (1-based known
+        class ids; callers map to names via idx_to_class).
+        """
+        w, p, k = conf.shape
+        seconds = seconds.reshape(-1, 2)
+        conf = conf.reshape(-1, k)
+        flat_unct = unct.reshape(-1) if unct is not None else None
+        flat_act = act.reshape(-1) if act is not None else None
+
+        cls_range = range(0, k) if self.os_head else range(1, k)
+        proposals: List[Dict[str, Any]] = []
+        collected = []
+        for cl in cls_range:
+            mask = conf[:, cl] > self.conf_thresh
+            if self.os_head:
+                mask &= flat_act > 0.5
+            if not mask.any():
+                collected.append(None)
+                continue
+            cols = [seconds[mask], conf[mask, cl][:, None]]
+            if self.use_edl:
+                cols.append(flat_unct[mask][:, None])
+            if self.os_head:
+                cols.append(flat_act[mask][:, None])
+            block = np.concatenate(cols, axis=1)
+            kept, _ = soft_nms_numpy(block, sigma=self.nms_sigma,
+                                     top_k=self.top_k)
+            collected.append(kept)
+
+        for cl, kept in zip(cls_range, collected):
+            if kept is None or len(kept) == 0:
+                continue
+            cl_idx = cl + 1 if self.os_head else cl
+            for row in kept:
+                if row[2] <= 0:
+                    continue
+                proposals.append({
+                    'cls': int(cl_idx),
+                    'score': float(row[2]),
+                    'segment': [float(row[0]), float(row[1])],
+                    'uncertainty': float(row[3]) if self.use_edl else 0.0,
+                    'actionness': (float(row[-1]) if self.os_head else 0.0),
+                })
+        return proposals
+
+
+def proposals_to_json(result_dict: Dict[str, List[Dict[str, Any]]],
+                      idx_to_class: Dict[int, str], output_path: str,
+                      json_name: str, version: str = 'THUMOS14',
+                      external_data: Optional[dict] = None) -> str:
+    """Write the detection JSON with reference schema parity
+    (test.py:254-256)."""
+    results = {}
+    for video, props in result_dict.items():
+        results[video] = [{
+            'label': idx_to_class[p['cls']],
+            'score': p['score'],
+            'segment': p['segment'],
+            'uncertainty': p['uncertainty'],
+            'actionness': p['actionness'],
+        } for p in props]
+    payload = {'version': version, 'results': results,
+               'external_data': external_data or {}}
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, json_name)
+    with open(path, 'w') as f:
+        json.dump(payload, f)
+    return path

@@ -96,13 +96,14 @@ class BDNet(nn.Module):
                     ) -> Tuple[list, list, list]:
         """Boundary-contrastive features for the SSL triplet loss.
 
-        proposals: (3, 2) cut-paste segments in frame units (the first
-        batch element's ssl targets, thumos14/BDNet.py:484).
-        Returns per-scale (anchor, positive, negative) feature lists.
+        proposals: (B, 3, 2) cut-paste segments in frame units per sample
+        (the reference uses targets[0] with batch 1,
+        thumos14/BDNet.py:484; this generalizes to any batch).
+        Returns per-scale (anchor, positive, negative) (B, C/2) features.
         """
         feat_dict = self.backbone(x)
         trip = self.pyramid(feat_dict, ssl=True)['trip']
-        decoded = proposals[None, :, :2]                    # (1, 3, 2)
+        decoded = proposals[..., :2]                        # (B, 3, 2)
         frame_segments = expand_boundary_segments(
             decoded[..., :1], decoded[..., 1:], plus_one=True)
         scales = (1.0, 4.0, 4.0)

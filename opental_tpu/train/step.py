@@ -1,0 +1,146 @@
+"""Jitted training step: forward + full loss + Adam update.
+
+Replaces the reference train loop body
+(AFSD/thumos14/train.py:164-252) with a single pure function suitable for
+jit/pjit over a data mesh axis. The SSL pass is computed unconditionally
+and gated by a per-sample flag multiply (one static graph instead of the
+reference's python-level branch, train.py:237-241).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from opental_tpu.losses.boundary import boundary_losses, triplet_margin_loss
+from opental_tpu.losses.edl import EDLState
+from opental_tpu.losses.multisegment import LossConfig, multisegment_loss
+
+Array = jax.Array
+
+
+class LossWeights(NamedTuple):
+    """Scalar loss weights (reference argparse defaults,
+    AFSD/common/config.py:23-28)."""
+    lw: float = 1.0       # localization
+    cw: float = 10.0      # classification
+    ctw: float = 1.0      # centerness
+    actw: float = 1.0     # actionness
+    ssl: float = 0.1      # triplet
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    constants: Any = struct.field(pytree_node=True)
+    opt_state: Any = struct.field(pytree_node=True)
+    edl_state: Optional[EDLState] = None
+    step: Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(learning_rate: float, weight_decay: float
+                   ) -> optax.GradientTransformation:
+    """torch Adam(+weight_decay) parity: wd added to the gradient BEFORE
+    the Adam moments (NOT AdamW), betas (0.9, 0.999), eps 1e-8
+    (thumos14/train.py:321-323)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-learning_rate),
+    )
+
+
+def make_anet_optimizer(learning_rate: float, weight_decay: float,
+                        backbone_scale: float = 0.1
+                        ) -> optax.GradientTransformation:
+    """ANet variant: backbone params train at lr * 0.1
+    (AFSD/anet/train.py:304-311)."""
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: 'backbone' if any(
+                getattr(p, 'key', None) == 'backbone' for p in path)
+            else 'head', params)
+    return optax.multi_transform(
+        {'head': make_optimizer(learning_rate, weight_decay),
+         'backbone': make_optimizer(learning_rate * backbone_scale,
+                                    weight_decay)},
+        label_fn)
+
+
+def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
+                   params, constants, batch: Dict[str, Array],
+                   edl_state: Optional[EDLState], epoch: Array,
+                   dropout_rng: Optional[Array] = None
+                   ) -> Tuple[Array, Dict[str, Array], Optional[EDLState]]:
+    """Full training objective (train.py:222-241). batch keys:
+    clips (B,T,H,W,C), truths (B,N,2), labels (B,N), gt_mask (B,N),
+    scores (B,2,T), ssl_clips, ssl_props (B,3,2), ssl_flags (B,)."""
+    variables = {'params': params, 'constants': constants}
+    rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
+    out = model.apply(variables, batch['clips'], rngs=rngs)
+
+    losses, new_edl_state = multisegment_loss(
+        loss_cfg, out, batch['truths'], batch['labels'], batch['gt_mask'],
+        edl_state=edl_state, epoch=epoch)
+    loss_start, loss_end = boundary_losses(out, batch['scores'])
+
+    cost = (weights.lw * losses['loss_l'] + weights.cw * losses['loss_c']
+            + weights.lw * losses['loss_prop_l']
+            + weights.cw * losses['loss_prop_c']
+            + weights.ctw * losses['loss_ct'] + loss_start + loss_end)
+    if loss_cfg.os_head:
+        cost = cost + weights.actw * (losses['loss_act']
+                                      + losses['loss_prop_act'])
+
+    loss_trip = jnp.asarray(0.0)
+    if weights.ssl > 0 and 'ssl_clips' in batch:
+        anchors, positives, negatives = model.apply(
+            variables, batch['ssl_clips'], batch['ssl_props'],
+            method='ssl_forward', rngs=rngs)
+        scale_w = (1.0, 0.1, 0.1)
+        per_scale = [w * triplet_margin_loss(a, p, n)
+                     for a, p, n, w in zip(anchors, positives, negatives,
+                                           scale_w)]
+        # gate by the augmentation-success flag (train.py:237);
+        # with per-sample batching we weight by the flagged fraction
+        flag = jnp.mean(batch['ssl_flags'].astype(jnp.float32))
+        loss_trip = sum(per_scale) * flag
+        cost = cost + weights.ssl * loss_trip
+
+    metrics = dict(losses)
+    metrics.update({'loss_start': loss_start, 'loss_end': loss_end,
+                    'loss_trip': loss_trip, 'cost': cost})
+    return cost, metrics, new_edl_state
+
+
+def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
+                    tx: optax.GradientTransformation):
+    """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
+    Pure; jit or pjit it over a data-sharded batch."""
+
+    def train_step(state: TrainState, batch: Dict[str, Array],
+                   epoch: Array, rng: Optional[Array] = None
+                   ) -> Tuple[TrainState, Dict[str, Array]]:
+        def loss_fn(params):
+            cost, metrics, new_edl = compute_losses(
+                model, loss_cfg, weights, params, state.constants, batch,
+                state.edl_state, epoch, dropout_rng=rng)
+            return cost, (metrics, new_edl)
+
+        (_, (metrics, new_edl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # data-parallel gradient reduction is inserted by pjit/XLA from
+        # the sharding annotations; nothing manual here
+        gnorm = optax.global_norm(grads)
+        metrics['grad_norm'] = gnorm
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(params=new_params, opt_state=new_opt_state,
+                             edl_state=new_edl,
+                             step=state.step + 1), metrics
+
+    return train_step
