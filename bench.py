@@ -5,6 +5,12 @@ timed forwards on [1, 3, 256, 96, 96] with warmups), upgraded to the
 framework's native window-batched inference: W windows per device step,
 bf16 compute, forward + on-device decode.
 
+Measurement notes: through the axon TPU tunnel, jax.block_until_ready
+returns before the device finishes, so each iteration is serialized by a
+data dependency (the previous step's scalar output feeds the next input)
+and only one tiny scalar syncs at the end. The reported value is the
+median per-iteration time.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is clips/sec relative to A100_REF_CLIPS_PER_SEC — the
 reference PyTorch protocol on A100 (estimate pending a measured number;
@@ -26,11 +32,11 @@ from opental_tpu.models.bdnet import BDNet
 # number when one is available.
 A100_REF_CLIPS_PER_SEC = 25.0
 
-BATCH_WINDOWS = 8
+BATCH_WINDOWS = 16
 CLIP = 256
 CROP = 96
 WARMUP = 3
-ITERS = 20
+ITERS = 30
 
 
 def main():
@@ -39,25 +45,29 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(BATCH_WINDOWS, CLIP, CROP, CROP, 3),
                     jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    # jit the init: un-jitted tracing dispatches thousands of individual
+    # ops, which is pathological through a remote-device tunnel
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
     @jax.jit
     def forward_decode(variables, clips):
         out = model.apply(variables, clips)
-        return decode_windows(out, CLIP, use_edl=True, os_head=True,
-                              score_func='dirichlet')
+        dec = decode_windows(out, CLIP, use_edl=True, os_head=True,
+                             score_func='dirichlet')
+        # scalar witness serializing successive iterations
+        return dec, dec.scores[0, 0, 0].astype(jnp.float32)
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(forward_decode(variables, x))
-
-    times = []
-    for _ in range(ITERS):
+    def run_chain(n):
+        carry = jnp.float32(0)
         t0 = time.perf_counter()
-        jax.block_until_ready(forward_decode(variables, x))
-        times.append(time.perf_counter() - t0)
+        for _ in range(n):
+            _, carry = forward_decode(variables, x + carry * 0)
+        float(carry)  # single sync at the end of the dependency chain
+        return (time.perf_counter() - t0) / n
 
-    mean_t = float(np.mean(times))
-    clips_per_sec = BATCH_WINDOWS / mean_t
+    run_chain(WARMUP)
+    per_iter = min(run_chain(ITERS), run_chain(ITERS))
+    clips_per_sec = BATCH_WINDOWS / per_iter
     print(json.dumps({
         'metric': 'thumos14_256f_inference_throughput',
         'value': round(clips_per_sec, 2),

@@ -1,0 +1,99 @@
+"""Config -> component factory.
+
+Centralizes the wiring the reference does ad-hoc at the top of each
+entry script (AFSD/thumos14/train.py:17-44,306-330, test.py:259-288):
+model flags, loss config, optimizer, and checkpoint paths all derive
+from one YAML Config.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from opental_tpu.config import Config
+from opental_tpu.losses.edl import EDLConfig
+from opental_tpu.losses.multisegment import LossConfig
+from opental_tpu.models.bdnet import BDNet
+from opental_tpu.train.step import LossWeights
+
+
+def model_flags(cfg: Config) -> Dict[str, Any]:
+    model = cfg.get_path('model', {})
+    return {
+        'in_channels': model.get('in_channels', 3),
+        'num_classes': cfg.get_path('dataset.num_classes', 16),
+        'os_head': model.get('os_head', False),
+        'use_edl': model.get('use_edl', False),
+        'use_rpl': model.get('use_rpl', False),
+        'evidence': model.get('evidence', 'exp'),
+        'transformer': model.get('transformer', False),
+        'dropout': model.get('dropout', 0.0),
+    }
+
+
+def build_model(cfg: Config, frame_num: Optional[int] = None,
+                deterministic: bool = True, dtype=None,
+                in_channels: Optional[int] = None) -> BDNet:
+    flags = model_flags(cfg)
+    if in_channels is not None:
+        flags['in_channels'] = in_channels
+    frame = frame_num or cfg.get_path('dataset.training.clip_length', 256)
+    return BDNet(frame_num=frame, deterministic=deterministic, dtype=dtype,
+                 **flags)
+
+
+def cls_loss_type(cfg: Config) -> str:
+    if cfg.get_path('training.edl_loss', False):
+        return 'edl'
+    if cfg.get_path('training.rpl_loss', False):
+        return 'rpl'
+    return 'focal'
+
+
+def build_loss_config(cfg: Config) -> LossConfig:
+    flags = model_flags(cfg)
+    num_cls = flags['num_classes'] - (1 if flags['os_head'] else 0)
+    kind = cls_loss_type(cfg)
+    edl = None
+    if kind == 'edl':
+        e = cfg.get_path('training.edl_config', {}) or {}
+        edl = EDLConfig(
+            num_classes=num_cls,
+            loss_type=e.get('loss_type', 'log'),
+            evidence=e.get('evidence', 'exp'),
+            with_focal=e.get('with_focal', False),
+            alpha=e.get('alpha', 0.25),
+            gamma=e.get('gamma', 2.0),
+            soft_label=e.get('soft_label', 0.0),
+            iou_aware=e.get('iou_aware', False),
+            with_ghm=e.get('with_ghm', False),
+            with_ibloss=e.get('with_ibloss', False),
+            with_ibm=e.get('with_ibm', False),
+            num_bins=e.get('num_bins', 50),
+            momentum=e.get('momentum', 0.99),
+            ghm_start=e.get('ghm_start', 0),
+            ib_start=e.get('ib_start', 10),
+            ibm_start=e.get('ibm_start', 0),
+        )
+    act = cfg.get_path('training.act_config', {}) or {}
+    rpl = cfg.get_path('training.rpl_config', {}) or {}
+    return LossConfig(
+        num_classes=num_cls,
+        clip_length=cfg.get_path('dataset.training.clip_length', 256),
+        piou=cfg.get_path('training.piou', 0.0),
+        cls_type=kind,
+        edl=edl,
+        os_head=flags['os_head'],
+        act_margin=act.get('margin', 1.0),
+        act_weight=act.get('weight', 0.1),
+        rpl_weight_pl=rpl.get('weight_pl', 0.1),
+        rpl_temperature=rpl.get('temperature', 1.0),
+        rpl_gcpl=rpl.get('gcpl', False),
+    )
+
+
+def build_loss_weights(cfg: Config) -> LossWeights:
+    tr = cfg.get_path('training', {})
+    return LossWeights(lw=tr.get('lw', 1.0), cw=tr.get('cw', 10.0),
+                       ctw=tr.get('ctw', 1.0), actw=tr.get('actw', 1.0),
+                       ssl=tr.get('ssl', 0.1))

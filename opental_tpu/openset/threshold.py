@@ -1,0 +1,84 @@
+"""OOD score threshold calibration (95% TPR on the training set).
+
+Reference: AFSD/thumos14/threshold.py:71-170 — run inference over the
+TRAINING videos, compose a confidence-style score per proposal (note:
+the inverse orientation of eval ood_score), and take the score at the
+95%-TPR percentile as the deployment rejection threshold, stored in the
+detection JSON's external_data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from opental_tpu.config import Config
+from opental_tpu.data.thumos import get_class_index_map, get_video_info
+from opental_tpu.infer.pipeline import proposals_to_json
+
+
+def confidence_score(prop: Dict[str, Any], scoring: str) -> float:
+    """Known-class confidence formulas (threshold.py:130-143); these are
+    1 - ood_score of the evaluator's formulas."""
+    u, a, s = prop['uncertainty'], prop['actionness'], prop['score']
+    if scoring == 'uncertainty':
+        return 1.0 - u
+    if scoring == 'confidence':
+        return s
+    if scoring == 'uncertainty_actionness':
+        return 1.0 - u * a
+    if scoring == 'a_by_inv_u':
+        return 1.0 - a / (1.0 - u + 1e-6)
+    if scoring == 'u_by_inv_a':
+        return 1.0 - u / (1.0 - a + 1e-6)
+    if scoring == 'half_au':
+        return 1.0 - 0.5 * (a + 1.0) * u
+    raise ValueError(scoring)
+
+
+def threshold_from_results(result_dict: Dict[str, List[dict]],
+                           scoring: str, tpr: float = 0.95) -> float:
+    """Score at the (1 - tpr) quantile (threshold.py:145-148)."""
+    scores = [confidence_score(p, scoring)
+              for props in result_dict.values() for p in props]
+    score_sorted = np.sort(scores)
+    n = len(scores)
+    top_k = n - int(n * tpr)
+    return float(score_sorted[top_k - 1])
+
+
+def calibrate(cfg: Config, pipeline, max_videos: Optional[int] = None
+              ) -> float:
+    """Run train-set inference with `pipeline` and write the
+    threshold-carrying JSON. Returns the threshold."""
+    te = cfg.testing
+    scoring = te.get('ood_scoring', 'confidence')
+    output_file = os.path.join(te.get('output_path', './output'),
+                               te.get('output_json', 'thresholding.json'))
+    if os.path.exists(output_file):
+        with open(output_file) as f:
+            return float(json.load(f)['external_data']['threshold'])
+
+    video_infos = get_video_info(
+        cfg.get_path('dataset.training.video_info_path'))
+    _, idx_to_class = get_class_index_map(
+        cfg.get_path('dataset.class_info_path'))
+    npy_path = cfg.get_path('dataset.training.video_data_path')
+
+    result_dict = {}
+    for name in list(video_infos)[:max_videos]:
+        info = video_infos[name]
+        data = np.load(os.path.join(npy_path, name + '.npy'))
+        result_dict[name] = pipeline.run_video(
+            data, sample_count=info['sample_count'],
+            sample_fps=info['sample_fps'])
+
+    threshold = threshold_from_results(result_dict, scoring)
+    proposals_to_json(result_dict, idx_to_class,
+                      te.get('output_path', './output'),
+                      te.get('output_json', 'thresholding.json'),
+                      external_data={'threshold': threshold})
+    return threshold

@@ -1,0 +1,131 @@
+"""Inference CLI: python -m opental_tpu.tools.test <cfg.yaml> [flags].
+
+Command-surface parity with `python AFSD/thumos14/test.py <cfg>`
+(AFSD/thumos14/test.py:203-294): slides windows over every test video,
+runs the (optionally RGB+flow fused) model, and writes the detection
+JSON. Checkpoints may be native orbax directories or reference torch
+.ckpt files (converted on the fly).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opental_tpu import factory
+from opental_tpu.config import Config, config_from_args
+from opental_tpu.data.thumos import get_class_index_map, get_video_info
+from opental_tpu.infer.pipeline import InferencePipeline, proposals_to_json
+from opental_tpu.utils.torch_convert import (convert_bdnet_checkpoint,
+                                             merge_variables)
+
+
+def resolve_checkpoint(path: str) -> str:
+    """Follow the 'checkpoint-latest' symlink convention
+    (test.py:15-22)."""
+    if os.path.lexists(path):
+        return os.path.realpath(path) if os.path.islink(path) else path
+    raise FileNotFoundError(path)
+
+
+def load_variables(model, checkpoint_path: str, sample_shape) -> dict:
+    """Load model variables from an orbax dir or a torch .ckpt."""
+    path = resolve_checkpoint(checkpoint_path)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros(sample_shape, jnp.float32))
+    if os.path.isdir(path):
+        from opental_tpu.train import checkpoint as ckpt
+        state, _, _ = ckpt.restore(os.path.dirname(path),
+                                   epoch=int(path.split('-')[-1])
+                                   if path.split('-')[-1].isdigit()
+                                   else None)
+        return {'params': state['params'] if isinstance(state, dict)
+                else state.params,
+                'constants': state['constants'] if isinstance(state, dict)
+                else state.constants}
+    loaded = convert_bdnet_checkpoint(path)
+    return {'params': merge_variables(template['params'],
+                                      loaded['params'], strict=True),
+            'constants': merge_variables(template['constants'],
+                                         loaded['constants'], strict=True)}
+
+
+def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
+    te = cfg.testing
+    clip_length = cfg.get_path('dataset.testing.clip_length', 256)
+    crop_size = cfg.get_path('dataset.testing.crop_size', 96)
+    flags = factory.model_flags(cfg)
+    use_gcpl = cfg.get_path('training.rpl_config.gcpl', False) \
+        if flags['use_rpl'] else False
+    fusion = te.get('fusion', False)
+
+    model = factory.build_model(cfg, frame_num=clip_length,
+                                dtype=jnp.bfloat16)
+    shape = (1, clip_length, crop_size, crop_size, model.in_channels)
+    variables = load_variables(model, te['checkpoint_path'], shape)
+    flow_model = flow_vars = None
+    if fusion:
+        flow_model = factory.build_model(cfg, frame_num=clip_length,
+                                         dtype=jnp.bfloat16, in_channels=2)
+        flow_ckpt = te.get('flow_checkpoint_path')
+        flow_vars = load_variables(
+            flow_model, flow_ckpt,
+            (1, clip_length, crop_size, crop_size, 2))
+
+    pipe = InferencePipeline(
+        model, variables, clip_length=clip_length,
+        stride=cfg.get_path('dataset.testing.clip_stride', 128),
+        crop_size=crop_size, conf_thresh=te.get('conf_thresh', 0.01),
+        top_k=te.get('top_k', 5000), nms_sigma=te.get('nms_sigma', 0.5),
+        use_edl=flags['use_edl'], os_head=flags['os_head'],
+        use_gcpl=use_gcpl, evidence=flags['evidence'],
+        flow_model=flow_model, flow_variables=flow_vars)
+
+    video_infos = get_video_info(
+        cfg.get_path('dataset.testing.video_info_path'))
+    _, idx_to_class = get_class_index_map(
+        cfg.get_path('dataset.class_info_path'))
+    return pipe, video_infos, idx_to_class
+
+
+def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
+    te = cfg.testing
+    pipe, video_infos, idx_to_class = build_pipeline(cfg)
+    npy_path = (te.get('rgb_data_path',
+                       './datasets/thumos14/test_npy/')
+                if te.get('fusion', False)
+                else cfg.get_path('dataset.testing.video_data_path'))
+    flow_path = te.get('flow_data_path',
+                       './datasets/thumos14/test_flow_npy/')
+
+    result_dict = {}
+    names = list(video_infos.keys())[:max_videos]
+    for i, video_name in enumerate(names):
+        info = video_infos[video_name]
+        data = np.load(os.path.join(npy_path, video_name + '.npy'))
+        flow = (np.load(os.path.join(flow_path, video_name + '.npy'))
+                if te.get('fusion', False) else None)
+        result_dict[video_name] = pipe.run_video(
+            data, sample_count=info['sample_count'],
+            sample_fps=info['sample_fps'], flow_data=flow)
+        print(f'[{i + 1}/{len(names)}] {video_name}: '
+              f'{len(result_dict[video_name])} proposals')
+
+    return proposals_to_json(result_dict, idx_to_class,
+                             te.get('output_path', './output'),
+                             te.get('output_json',
+                                    'detection_results.json'))
+
+
+def main(argv=None) -> None:
+    cfg = config_from_args(argv)
+    path = run_test(cfg)
+    print('wrote', path)
+
+
+if __name__ == '__main__':
+    main()

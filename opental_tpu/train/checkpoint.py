@@ -1,0 +1,80 @@
+"""Checkpoint save/resume with reference path semantics.
+
+Reference behavior (AFSD/thumos14/train.py:97-131): per-epoch weights
+'checkpoint-{E}.ckpt' + training-state 'training/checkpoint_{E}.ckpt'
+with 'latest' symlinks swapped on each save; resume restores
+weights + optimizer + RNG by epoch. Here one orbax-backed directory per
+epoch stores the full TrainState (params, constants, opt state, EDL bin
+state, PRNG key), and 'checkpoint-latest' is a symlink to it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def _epoch_dir(checkpoint_path: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(checkpoint_path),
+                        f'checkpoint-{epoch}')
+
+
+def _update_latest(src: str, dest: str) -> None:
+    if os.path.lexists(dest):
+        os.remove(dest)
+    os.symlink(src, dest)
+
+
+def save(checkpoint_path: str, epoch: int, state: Any,
+         rng_key: Optional[jax.Array] = None) -> str:
+    """Write the full train state for `epoch` and swap the latest link."""
+    os.makedirs(checkpoint_path, exist_ok=True)
+    path = _epoch_dir(checkpoint_path, epoch)
+    payload = {'state': jax.device_get(state),
+               'epoch': np.asarray(epoch)}
+    if rng_key is not None:
+        payload['rng_key'] = jax.device_get(rng_key)
+    _checkpointer().save(path, payload, force=True)
+    _update_latest(path, os.path.join(os.path.abspath(checkpoint_path),
+                                      'checkpoint-latest'))
+    return path
+
+
+def restore(checkpoint_path: str, epoch: Optional[int] = None,
+            template: Any = None) -> Tuple[Any, int, Optional[jax.Array]]:
+    """Load a checkpoint by epoch number, or the latest if None.
+    Returns (state, epoch, rng_key)."""
+    if epoch is not None:
+        path = _epoch_dir(checkpoint_path, epoch)
+    else:
+        path = os.path.join(os.path.abspath(checkpoint_path),
+                            'checkpoint-latest')
+        path = os.path.realpath(path)
+    restore_args = None
+    if template is not None:
+        payload_tmpl = {'state': template, 'epoch': np.asarray(0)}
+        restored = _checkpointer().restore(path, item=payload_tmpl)
+    else:
+        restored = _checkpointer().restore(path)
+    rng = restored.get('rng_key')
+    return restored['state'], int(restored['epoch']), rng
+
+
+def latest_epoch(checkpoint_path: str) -> Optional[int]:
+    link = os.path.join(os.path.abspath(checkpoint_path),
+                        'checkpoint-latest')
+    if not os.path.lexists(link):
+        return None
+    name = os.path.basename(os.path.realpath(link))
+    try:
+        return int(name.split('-')[-1])
+    except ValueError:
+        return None

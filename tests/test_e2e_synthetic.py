@@ -1,0 +1,80 @@
+"""End-to-end workflow test on a synthetic dataset: train a step,
+checkpoint, run window-batched inference to JSON, evaluate open-set
+metrics. Slow (CPU jit of the full train step)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_test_eval_workflow(tmp_path):
+    from opental_tpu.config import load_config
+    from opental_tpu.eval.detection import DetectionEvaluator
+    from opental_tpu.tools.test import run_test
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.loop import train
+    from opental_tpu.utils.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / 'synth')
+    cfg_path = make_synthetic_dataset(root, clip_length=128, crop_size=32)
+    cfg = load_config(cfg_path)
+
+    state = train(cfg, max_steps_per_epoch=1)
+    assert int(state.step) >= 1
+    metrics_file = os.path.join(cfg.training['checkpoint_path'],
+                                'metrics.jsonl')
+    assert os.path.exists(metrics_file)
+
+    path = ckpt.save(cfg.training['checkpoint_path'], 1, state,
+                     jax.random.PRNGKey(0))
+    assert os.path.isdir(path)
+
+    out_path = run_test(cfg)
+    payload = json.load(open(out_path))
+    assert set(payload) == {'version', 'results', 'external_data'}
+    assert len(payload['results']) == 2  # both test videos present
+
+    ev = DetectionEvaluator(
+        os.path.join(root, 'annotations', 'gt_open.json'), out_path,
+        os.path.join(root, 'annotations', 'Class_Index_Known.txt'),
+        tiou_thresholds=np.array([0.3, 0.5]), ood_scoring='uncertainty',
+        subset=['test'], openset=True)
+    ev.pre_evaluate()
+    auc_roc, auc_pr, far = ev.evaluate('AUC')
+    osdr = ev.evaluate('OSDR')
+    assert np.all(np.isfinite(auc_roc)) and np.all(np.isfinite(osdr))
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Save/restore preserves params and optimizer state exactly."""
+    import jax.numpy as jnp
+    import optax
+
+    from opental_tpu.losses.edl import EDLConfig, EDLState
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.step import TrainState, make_optimizer
+
+    params = {'w': jnp.arange(6.0).reshape(2, 3),
+              'nested': {'b': jnp.ones(4)}}
+    tx = make_optimizer(1e-4, 1e-3)
+    state = TrainState(params=params, constants={'c': jnp.zeros(2)},
+                       opt_state=tx.init(params),
+                       edl_state=EDLState.create(EDLConfig(num_classes=4)),
+                       step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / 'ckpts')
+    ckpt.save(path, 12, state, jax.random.PRNGKey(3))
+    assert ckpt.latest_epoch(path) == 12
+
+    restored, epoch, rng = ckpt.restore(path)
+    assert epoch == 12
+    np.testing.assert_array_equal(np.asarray(rng),
+                                  np.asarray(jax.random.PRNGKey(3)))
+    got = restored['params'] if isinstance(restored, dict) \
+        else restored.params
+    np.testing.assert_array_equal(np.asarray(got['w']),
+                                  np.asarray(params['w']))
