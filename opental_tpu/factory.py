@@ -28,6 +28,7 @@ def model_flags(cfg: Config) -> Dict[str, Any]:
         'evidence': model.get('evidence', 'exp'),
         'transformer': model.get('transformer', False),
         'dropout': model.get('dropout', 0.0),
+        'arch': model.get('arch', 'thumos'),
     }
 
 
@@ -75,6 +76,12 @@ def build_loss_config(cfg: Config) -> LossConfig:
             ib_start=e.get('ib_start', 10),
             ibm_start=e.get('ibm_start', 0),
         )
+    arch = flags['arch']
+    if edl is not None and arch == 'anet' and edl.with_ibm:
+        # ANet ships the older exp-form MIB (anet/cls_loss.py:225-231)
+        e = cfg.get_path('training.edl_config', {}) or {}
+        edl = edl._replace(ibm_exp=True,
+                           ibm_coeff=e.get('ibm_coeff', 10.0))
     act = cfg.get_path('training.act_config', {}) or {}
     rpl = cfg.get_path('training.rpl_config', {}) or {}
     return LossConfig(
@@ -89,6 +96,7 @@ def build_loss_config(cfg: Config) -> LossConfig:
         rpl_weight_pl=rpl.get('weight_pl', 0.1),
         rpl_temperature=rpl.get('temperature', 1.0),
         rpl_gcpl=rpl.get('gcpl', False),
+        variant=arch,
     )
 
 

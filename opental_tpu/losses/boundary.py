@@ -32,20 +32,24 @@ def boundary_bce(feat: Array, target: Array) -> Array:
     return jnp.mean(_bce_prob(score, target))
 
 
-def boundary_losses(out: dict, scores: Array) -> Tuple[Array, Array]:
+def boundary_losses(out: dict, scores: Array, start_row: int = 0,
+                    end_row: int = 1, downscale: int = 4
+                    ) -> Tuple[Array, Array]:
     """Combined frame + proposal-level start/end losses
-    (train.py:187-200). scores: (B, 2, T) GT boundary heatmaps; the
-    proposal-level targets are the stride-4 subsample (the reference's
-    nearest F.interpolate scale 1/4)."""
-    loss_start = boundary_bce(out['start'], scores[:, 0])
-    loss_end = boundary_bce(out['end'], scores[:, 1])
-    scores_q = scores[:, :, ::4]
+    (train.py:187-200; ANet variant anet/train.py:134-187 uses score
+    rows 1/2 of its (action, start, end) heatmaps and a stride-8
+    subsample). scores: (B, R, T) GT heatmaps; the proposal-level
+    targets are the stride-`downscale` subsample (the reference's
+    nearest F.interpolate)."""
+    loss_start = boundary_bce(out['start'], scores[:, start_row])
+    loss_end = boundary_bce(out['end'], scores[:, end_row])
+    scores_q = scores[:, :, ::downscale]
     loss_start = loss_start + 0.1 * (
-        boundary_bce(out['start_loc_prop'], scores_q[:, 0])
-        + boundary_bce(out['start_conf_prop'], scores_q[:, 0]))
+        boundary_bce(out['start_loc_prop'], scores_q[:, start_row])
+        + boundary_bce(out['start_conf_prop'], scores_q[:, start_row]))
     loss_end = loss_end + 0.1 * (
-        boundary_bce(out['end_loc_prop'], scores_q[:, 1])
-        + boundary_bce(out['end_conf_prop'], scores_q[:, 1]))
+        boundary_bce(out['end_loc_prop'], scores_q[:, end_row])
+        + boundary_bce(out['end_conf_prop'], scores_q[:, end_row]))
     return loss_start, loss_end
 
 

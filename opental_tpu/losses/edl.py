@@ -44,6 +44,10 @@ class EDLConfig(NamedTuple):
     with_ghm: bool = False
     with_ibloss: bool = False
     with_ibm: bool = False
+    # ANet's older exp-form MIB: w = 1/(|logit|_1 * exp(coeff*g) + eps),
+    # stateless (anet/cls_loss.py:225-231); False = THUMOS binned-EMA MIB
+    ibm_exp: bool = False
+    ibm_coeff: float = 10.0
     num_bins: int = 50
     momentum: float = 0.99
     ghm_start: int = 0
@@ -184,6 +188,15 @@ def evidence_loss(cfg: EDLConfig, logits: Array, target: Array,
         w = 1.0 / jnp.maximum(grad_norm * feat_norm, EPS)
         per_row_w = w * jnp.sum(base, axis=1)
         per_row = jnp.where(epoch >= cfg.ib_start, per_row_w,
+                            jnp.sum(base, axis=1))
+    elif cfg.with_ibm and cfg.ibm_exp:
+        # exp-form influence balancing (anet/cls_loss.py:225-231);
+        # note: feat_norm is NOT detached there, matching the reference
+        _, grad_norm = _grad_norm_terms(y, alpha, k)
+        feat_norm = jnp.sum(jnp.abs(logits), axis=1)
+        w = 1.0 / (feat_norm * jnp.exp(cfg.ibm_coeff * grad_norm) + EPS)
+        per_row_w = w * jnp.sum(base, axis=1)
+        per_row = jnp.where(epoch >= cfg.ibm_start, per_row_w,
                             jnp.sum(base, axis=1))
     elif cfg.with_ibm:
         # MIB (the OpenTAL-final variant, cls_loss.py:257-270):

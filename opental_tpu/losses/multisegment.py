@@ -38,6 +38,7 @@ class LossConfig(NamedTuple):
     rpl_gcpl: bool = False
     focal_alpha: float = 0.25
     size_average: bool = False
+    variant: str = 'thumos'       # 'thumos' | 'anet' matching/normalization
 
 
 def segment_iou_1d(pred: Array, target: Array) -> Array:

@@ -64,6 +64,7 @@ class BDNet(nn.Module):
     transformer: bool = False
     dropout: float = 0.0
     frame_num: int = 256
+    arch: str = 'thumos'         # 'thumos' | 'anet' pyramid variant
     deterministic: bool = True
     dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
 
@@ -74,11 +75,17 @@ class BDNet(nn.Module):
 
     def setup(self):
         self.backbone = InceptionI3d(dtype=self.dtype)
-        self.pyramid = CoarsePyramid(
-            num_classes=self.head_classes, frame_num=self.frame_num,
-            os_head=self.os_head, use_rpl=self.use_rpl,
-            transformer=self.transformer, dropout=self.dropout,
-            deterministic=self.deterministic, dtype=self.dtype)
+        if self.arch == 'anet':
+            from opental_tpu.models.anet_pyramid import AnetCoarsePyramid
+            self.pyramid = AnetCoarsePyramid(
+                num_classes=self.head_classes, frame_num=self.frame_num,
+                os_head=self.os_head, dtype=self.dtype)
+        else:
+            self.pyramid = CoarsePyramid(
+                num_classes=self.head_classes, frame_num=self.frame_num,
+                os_head=self.os_head, use_rpl=self.use_rpl,
+                transformer=self.transformer, dropout=self.dropout,
+                deterministic=self.deterministic, dtype=self.dtype)
 
     def __call__(self, x: Array, get_feat: bool = False) -> Dict[str, Any]:
         feat_dict = self.backbone(x)

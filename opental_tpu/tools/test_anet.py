@@ -1,0 +1,173 @@
+"""ActivityNet inference CLI:
+python -m opental_tpu.tools.test_anet <cfg.yaml> [flags].
+
+Reference: AFSD/anet/test.py (single 768-frame window per video;
+multi-GPU sharding via multiprocessing, :195-273). TPU-native design:
+since every video is exactly one window, videos batch directly into the
+window axis — one jitted forward scores many videos at once, replacing
+the reference's process-per-GPU fan-out.
+
+Output keys strip the 'v_' prefix and segments clamp to the video
+duration (anet/test.py:183-239). The binary-actionness variant
+(num_classes=2 + external video-level classes, test_binary.py) is
+supported via --binary and cuhk-style classifier files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opental_tpu import factory
+from opental_tpu.config import config_from_args
+from opental_tpu.data import transforms
+from opental_tpu.data.anet import get_video_info
+from opental_tpu.infer.decode import decode_windows
+from opental_tpu.ops.nms import soft_nms_numpy
+from opental_tpu.tools.test import load_variables
+
+
+def load_class_names(class_info_path: str) -> Dict[int, str]:
+    with open(class_info_path) as f:
+        lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
+    return {i + 1: name for i, name in enumerate(lines)}
+
+
+def prepare_window(npy_path: str, clip_length: int, crop_size: int
+                   ) -> np.ndarray:
+    data = np.load(npy_path).astype(np.float32)
+    data = transforms.center_crop(data, crop_size)
+    t = data.shape[0]
+    if t < clip_length:
+        pad = np.full((clip_length - t,) + data.shape[1:], 127.5,
+                      np.float32)  # (anet/test.py:87-89)
+        data = np.concatenate([data, pad], 0)
+    else:
+        data = data[:clip_length]
+    return (data / 255.0) * 2.0 - 1.0
+
+
+def run_test_anet(cfg, max_videos: Optional[int] = None,
+                  video_batch: int = 4, binary: bool = False,
+                  cls_score_file: Optional[str] = None) -> str:
+    te = cfg.testing
+    clip_length = cfg.get_path('dataset.testing.clip_length', 768)
+    crop_size = cfg.get_path('dataset.testing.crop_size', 96)
+    flags = factory.model_flags(cfg)
+    use_edl, os_head = flags['use_edl'], flags['os_head']
+    num_classes = flags['num_classes'] - (1 if os_head else 0)
+
+    model = factory.build_model(cfg, frame_num=clip_length,
+                                dtype=jnp.bfloat16)
+    variables = load_variables(
+        model, te['checkpoint_path'],
+        (1, clip_length, crop_size, crop_size, model.in_channels))
+
+    score_func = 'dirichlet' if use_edl else 'softmax'
+
+    @jax.jit
+    def forward_decode(variables, clips):
+        out = model.apply(variables, clips)
+        return decode_windows(out, clip_length, use_edl=use_edl,
+                              os_head=os_head, score_func=score_func,
+                              evidence=flags['evidence'])
+
+    video_infos = get_video_info(
+        cfg.get_path('dataset.testing.video_info_path'), 'validation')
+    idx_to_class = load_class_names(cfg.get_path(
+        'dataset.class_info_path'))
+    npy_dir = cfg.get_path('dataset.testing.video_mp4_path')
+    names = [n for n in video_infos
+             if os.path.exists(os.path.join(npy_dir, n + '.npy'))]
+    names = names[:max_videos]
+
+    video_cls: Dict[str, List] = {}
+    if binary and cls_score_file:
+        with open(cls_score_file) as f:
+            video_cls = json.load(f)
+
+    cls_rng = range(0, num_classes) if os_head else range(1, num_classes)
+    result_dict: Dict[str, List[dict]] = {}
+    for i in range(0, len(names), video_batch):
+        chunk = names[i:i + video_batch]
+        clips = np.stack([prepare_window(
+            os.path.join(npy_dir, n + '.npy'), clip_length, crop_size)
+            for n in chunk])
+        dec = forward_decode(variables, jnp.asarray(clips))
+        segs = np.asarray(dec.segments)
+        scores = np.asarray(dec.scores)
+        unct = (np.asarray(dec.uncertainty) if use_edl else None)
+        act = (np.asarray(dec.actionness) if os_head else None)
+        for vi, name in enumerate(chunk):
+            fps = video_infos[name]['fps']
+            duration = video_infos[name]['duration']
+            seconds = segs[vi] / fps
+            props = []
+            for cl in cls_rng:
+                mask = scores[vi, :, cl] > 0.001  # (anet/test.py:134)
+                if os_head:
+                    mask &= act[vi] > 0.5
+                if not mask.any():
+                    continue
+                cols = [seconds[mask], scores[vi, mask, cl][:, None]]
+                if use_edl:
+                    cols.append(unct[vi, mask][:, None])
+                if os_head:
+                    cols.append(act[vi, mask][:, None])
+                block = np.concatenate(cols, 1)
+                kept, _ = soft_nms_numpy(block,
+                                         sigma=te.get('nms_sigma', 0.85),
+                                         top_k=te.get('top_k', 5000))
+                cl_idx = cl + 1 if os_head else cl
+                for row in kept:
+                    if row[2] <= 0:
+                        continue
+                    start_t = max(0.0, float(row[0]))
+                    end_t = min(duration, float(row[1]))
+                    if end_t <= start_t:
+                        continue
+                    props.append({
+                        'label': idx_to_class.get(cl_idx, str(cl_idx)),
+                        'score': float(row[2]),
+                        'segment': [start_t, end_t],
+                        'uncertainty': float(row[3]) if use_edl else 0.0,
+                        'actionness': float(row[-1]) if os_head else 0.0,
+                    })
+            key = name[2:] if name.startswith('v_') else name
+            if binary and key in video_cls:
+                # binary-actionness: re-label proposals with the top
+                # video-level classes (test_binary.py)
+                relabeled = []
+                for cls_name, cls_score in video_cls[key][:2]:
+                    for p in props:
+                        q = dict(p)
+                        q['label'] = cls_name
+                        q['score'] = p['score'] * cls_score
+                        relabeled.append(q)
+                props = relabeled
+            result_dict[key] = props
+        print(f'[{min(i + video_batch, len(names))}/{len(names)}] videos')
+
+    payload = {'version': 'ActivityNet-v1.3', 'results': result_dict,
+               'external_data': {}}
+    os.makedirs(te.get('output_path', './output'), exist_ok=True)
+    out_path = os.path.join(te.get('output_path', './output'),
+                            te.get('output_json',
+                                   'detection_results.json'))
+    with open(out_path, 'w') as f:
+        json.dump(payload, f)
+    return out_path
+
+
+def main(argv=None) -> None:
+    cfg = config_from_args(argv)
+    print('wrote', run_test_anet(cfg))
+
+
+if __name__ == '__main__':
+    main()

@@ -86,18 +86,32 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
     model = factory.build_model(cfg, deterministic=True)
     loss_cfg = factory.build_loss_config(cfg)
     weights = factory.build_loss_weights(cfg)
-    tx = make_optimizer(tr['learning_rate'], tr['weight_decay'])
+    if model.arch == 'anet':
+        # ANet trains the backbone at lr * 0.1 (anet/train.py:304-311)
+        from opental_tpu.train.step import make_anet_optimizer
+        tx = make_anet_optimizer(tr['learning_rate'], tr['weight_decay'])
+    else:
+        tx = make_optimizer(tr['learning_rate'], tr['weight_decay'])
     step_fn = jax.jit(make_train_step(model, loss_cfg, weights, tx))
 
-    video_infos = get_video_info(
-        cfg.get_path('dataset.training.video_info_path'))
-    video_annos = get_video_anno(
-        video_infos, cfg.get_path('dataset.training.video_anno_path'),
-        cfg.get_path('dataset.class_info_path'))
-    dataset = ThumosTrainDataset(
-        cfg.get_path('dataset.training.video_data_path'), video_infos,
-        video_annos, clip_length=clip_length, crop_size=crop_size,
-        stride=cfg.get_path('dataset.training.clip_stride', 30), seed=seed)
+    if model.arch == 'anet':
+        from opental_tpu.data.anet import AnetTrainDataset
+        dataset = AnetTrainDataset(
+            cfg.get_path('dataset.training.video_info_path'),
+            cfg.get_path('dataset.training.video_data_path'),
+            clip_length=clip_length, crop_size=crop_size, seed=seed,
+            binary_class=cfg.get_path('dataset.binary_class', False))
+    else:
+        video_infos = get_video_info(
+            cfg.get_path('dataset.training.video_info_path'))
+        video_annos = get_video_anno(
+            video_infos, cfg.get_path('dataset.training.video_anno_path'),
+            cfg.get_path('dataset.class_info_path'))
+        dataset = ThumosTrainDataset(
+            cfg.get_path('dataset.training.video_data_path'), video_infos,
+            video_annos, clip_length=clip_length, crop_size=crop_size,
+            stride=cfg.get_path('dataset.training.clip_stride', 30),
+            seed=seed)
 
     checkpoint_path = tr.get('checkpoint_path', './checkpoints')
     logger = MetricsLogger(checkpoint_path,

@@ -82,10 +82,22 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
     rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
     out = model.apply(variables, batch['clips'], rngs=rngs)
 
-    losses, new_edl_state = multisegment_loss(
-        loss_cfg, out, batch['truths'], batch['labels'], batch['gt_mask'],
-        edl_state=edl_state, epoch=epoch)
-    loss_start, loss_end = boundary_losses(out, batch['scores'])
+    if loss_cfg.variant == 'anet':
+        from opental_tpu.losses.anet_multisegment import (
+            anet_multisegment_loss)
+        losses, new_edl_state = anet_multisegment_loss(
+            loss_cfg, out, batch['truths'], batch['labels'],
+            batch['gt_mask'], edl_state=edl_state, epoch=epoch)
+        # ANet heatmaps carry (action, start, end) rows; proposal-level
+        # targets subsample at the stride-8 feature rate
+        loss_start, loss_end = boundary_losses(out, batch['scores'],
+                                               start_row=1, end_row=2,
+                                               downscale=8)
+    else:
+        losses, new_edl_state = multisegment_loss(
+            loss_cfg, out, batch['truths'], batch['labels'],
+            batch['gt_mask'], edl_state=edl_state, epoch=epoch)
+        loss_start, loss_end = boundary_losses(out, batch['scores'])
 
     cost = (weights.lw * losses['loss_l'] + weights.cw * losses['loss_c']
             + weights.lw * losses['loss_prop_l']

@@ -59,9 +59,11 @@ def map_i3d_key(key: str) -> Optional[PathEntry]:
     return ('constants', base + ('bn', _BN_LEAF[m['leaf']]), None)
 
 
-def map_pyramid_key(key: str) -> Optional[PathEntry]:
+def map_pyramid_key(key: str, arch: str = 'thumos') -> Optional[PathEntry]:
     """Map one reference CoarsePyramid state-dict key (names from
-    thumos14/BDNet.py:116-293) to our flax path."""
+    thumos14/BDNet.py:116-293, anet/BDNet.py:120-269) to our flax path.
+    arch='anet': only pyramids.0 is a Unit3D (anet/BDNet.py:130-142)."""
+    unit3d_levels = 2 if arch == 'thumos' else 1
     def conv1d(base: Tuple[str, ...], leaf: str) -> PathEntry:
         return ('params', base + ('conv', 'kernel' if leaf == 'weight'
                                   else 'bias'),
@@ -77,7 +79,7 @@ def map_pyramid_key(key: str) -> Optional[PathEntry]:
     if m:
         i, slot, mod, leaf = m.groups()
         i = int(i)
-        if i <= 1:  # Unit3D input convs
+        if i < unit3d_levels:  # Unit3D input convs
             if slot == '0':
                 return ('params', (f'pyramid_{i}_conv', 'conv',
                                    'kernel' if leaf == 'weight' else 'bias'),
@@ -136,7 +138,7 @@ def map_pyramid_key(key: str) -> Optional[PathEntry]:
     return None
 
 
-def map_bdnet_key(key: str) -> Optional[PathEntry]:
+def map_bdnet_key(key: str, arch: str = 'thumos') -> Optional[PathEntry]:
     if key.startswith('backbone._model.'):
         entry = map_i3d_key(key[len('backbone._model.'):])
         if entry is None:
@@ -144,12 +146,17 @@ def map_bdnet_key(key: str) -> Optional[PathEntry]:
         col, path, xf = entry
         return (col, ('backbone',) + path, xf)
     if key.startswith('coarse_pyramid_detection.'):
-        entry = map_pyramid_key(key[len('coarse_pyramid_detection.'):])
+        entry = map_pyramid_key(key[len('coarse_pyramid_detection.'):],
+                                arch)
         if entry is None:
             return None
         col, path, xf = entry
         return (col, ('pyramid',) + path, xf)
     return None
+
+
+def map_anet_bdnet_key(key: str) -> Optional[PathEntry]:
+    return map_bdnet_key(key, arch='anet')
 
 
 _XFORMS = {'conv3d': _t3, 'conv1d': _t1, None: lambda w: w}
