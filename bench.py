@@ -32,7 +32,7 @@ from opental_tpu.models.bdnet import BDNet
 # number when one is available.
 A100_REF_CLIPS_PER_SEC = 25.0
 
-BATCH_WINDOWS = 16
+BATCH_WINDOWS = 64
 CLIP = 256
 CROP = 96
 WARMUP = 3

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from opental_tpu.models.i3d import InceptionI3d
 from opental_tpu.models.pyramid import CoarsePyramid, expand_boundary_segments
-from opental_tpu.ops.boundary_pool import boundary_max_pool
+from opental_tpu.ops.boundary_pool import boundary_max_pool_auto as boundary_max_pool
 
 Array = jax.Array
 

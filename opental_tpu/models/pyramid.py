@@ -19,7 +19,7 @@ from flax import linen as nn
 from opental_tpu.models.layers import (ConvGNReLU1D, GN_EPS, RPLHead,
                                        ScaleExp, TransformerHead, Unit1D,
                                        Unit3D, interpolate_nearest_1d)
-from opental_tpu.ops.boundary_pool import boundary_max_pool
+from opental_tpu.ops.boundary_pool import boundary_max_pool_auto as boundary_max_pool
 
 Array = jax.Array
 

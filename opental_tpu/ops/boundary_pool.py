@@ -132,6 +132,26 @@ def _bwd_rule(residuals, g):
 boundary_max_pool.defvjp(_fwd_rule, _bwd_rule)
 
 
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ('tpu', 'axon')
+
+
+def boundary_max_pool_auto(x: Array, segments: Array) -> Array:
+    """Backend dispatch: the Pallas kernel on TPU (10x the XLA
+    sparse-table path there), XLA everywhere else. Both share the exact
+    CUDA-parity semantics and first-argmax backward."""
+    if _on_tpu():
+        from opental_tpu.ops.boundary_pool_pallas import (
+            boundary_max_pool_pallas)
+        return boundary_max_pool_pallas(x, segments)
+    return boundary_max_pool(x, segments)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def boundary_max_pool_masked(x: Array, segments: Array) -> Array:
     """Mask-and-max reference implementation (O(K*T) memory), for tests."""

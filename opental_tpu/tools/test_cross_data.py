@@ -1,0 +1,140 @@
+"""Cross-dataset open-set test: THUMOS model over ActivityNet unknowns.
+
+Reference: AFSD/thumos14/test_cross_data.py — run the THUMOS-trained
+model (a) over THUMOS14 test videos and (b) over ActivityNet validation
+videos (768-frame npy, padded 127.5, windowed with THUMOS 256/128),
+exclude ANet videos containing THUMOS-overlapping classes (:333-351),
+merge both result sets into one thumos14_anet_merged.json (:412-446).
+The window-batched InferencePipeline serves both passes.
+
+CLI: python -m opental_tpu.tools.test_cross_data <cfg.yaml> [flags]
+     [--anet_video_info ...] [--anet_npy_dir ...]
+     [--overlapping_class_file ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from opental_tpu.config import Config, build_arg_parser, config_from_args
+from opental_tpu.data.anet import get_video_info as get_anet_video_info
+from opental_tpu.data.thumos import get_class_index_map, get_video_info
+from opental_tpu.infer.pipeline import proposals_to_json
+from opental_tpu.tools.test import build_pipeline
+
+
+def pad_anet_video(data: np.ndarray, clip_length: int = 768) -> np.ndarray:
+    """ANet npy videos are capped at 768 frames; pad short ones with
+    127.5 (test_cross_data.py:80-89)."""
+    t = data.shape[0]
+    if t < clip_length:
+        pad = np.full((clip_length - t,) + data.shape[1:], 127.5,
+                      data.dtype if data.dtype != np.uint8 else np.float32)
+        data = np.concatenate([data.astype(pad.dtype), pad], 0)
+    return data
+
+
+def exclude_overlapping(results: Dict[str, list],
+                        anet_video_infos: Dict[str, dict],
+                        overlapping_class_file: str) -> Dict[str, list]:
+    """Drop ANet videos annotated with THUMOS-overlapping classes
+    (test_cross_data.py:333-351)."""
+    with open(overlapping_class_file) as f:
+        excluded = {ln.strip() for ln in f.read().splitlines()
+                    if ln.strip()}
+    kept = {}
+    for video_name, preds in results.items():
+        info = anet_video_infos.get('v_' + video_name,
+                                    anet_video_infos.get(video_name, {}))
+        anns = info.get('annotations', [])
+        if any(a['label'] in excluded for a in anns):
+            continue
+        kept[video_name] = preds
+    return kept
+
+
+def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
+                   overlapping_class_file: str,
+                   max_videos: Optional[int] = None) -> str:
+    te = cfg.testing
+    pipe, thumos_infos, idx_to_class = build_pipeline(cfg)
+    out_path = te.get('output_path', './output')
+    os.makedirs(out_path, exist_ok=True)
+
+    # pass 1: THUMOS14 test set (idempotence guard, reference :412-418)
+    thumos_resfile = os.path.join(out_path, 'thumos14_open_rgb.json')
+    if os.path.exists(thumos_resfile):
+        thumos_out = json.load(open(thumos_resfile))
+    else:
+        npy = cfg.get_path('dataset.testing.video_data_path')
+        results = {}
+        for name in list(thumos_infos)[:max_videos]:
+            info = thumos_infos[name]
+            data = np.load(os.path.join(npy, name + '.npy'))
+            results[name] = pipe.run_video(
+                data, sample_count=info['sample_count'],
+                sample_fps=info['sample_fps'])
+        proposals_to_json(results, idx_to_class, out_path,
+                          'thumos14_open_rgb.json')
+        thumos_out = json.load(open(thumos_resfile))
+
+    # pass 2: ANet validation videos through the same THUMOS windows
+    anet_infos = get_anet_video_info(anet_video_info, 'validation')
+    anet_resfile = os.path.join(out_path, 'anet_open_rgb.json')
+    if os.path.exists(anet_resfile):
+        anet_out = json.load(open(anet_resfile))
+    else:
+        results = {}
+        names = [n for n in anet_infos
+                 if os.path.exists(os.path.join(anet_npy_dir, n + '.npy'))]
+        for name in names[:max_videos]:
+            info = anet_infos[name]
+            data = pad_anet_video(np.load(
+                os.path.join(anet_npy_dir, name + '.npy')))
+            key = name[2:] if name.startswith('v_') else name
+            results[key] = pipe.run_video(
+                data, sample_count=data.shape[0],
+                sample_fps=info['fps'])
+        proposals_to_json(results, idx_to_class, out_path,
+                          'anet_open_rgb.json')
+        anet_out = json.load(open(anet_resfile))
+
+    filtered = exclude_overlapping(anet_out['results'], anet_infos,
+                                   overlapping_class_file)
+    merged = dict(thumos_out['results'])
+    merged.update(filtered)
+    payload = {'version': 'THUMOS14', 'results': merged,
+               'external_data': {}}
+    merged_path = os.path.join(out_path,
+                               te.get('output_json',
+                                      'thumos14_anet_merged.json'))
+    with open(merged_path, 'w') as f:
+        json.dump(payload, f)
+    return merged_path
+
+
+def main(argv=None) -> None:
+    parser = build_arg_parser()
+    parser.add_argument('--anet_video_info', type=str, default=
+                        'datasets/activitynet/annotations/'
+                        'video_info_train_val.json')
+    parser.add_argument('--anet_npy_dir', type=str,
+                        default='datasets/activitynet/train_val_npy_112')
+    parser.add_argument('--overlapping_class_file', type=str, default=
+                        'datasets/activitynet/'
+                        'overlapping_classes_in_thumos.txt')
+    args, rest = parser.parse_known_args(argv)
+    cfg = config_from_args(
+        [a for a in (argv or []) if not a.startswith('--anet')
+         and not a.startswith('--overlapping')])
+    print('wrote', run_cross_data(cfg, args.anet_video_info,
+                                  args.anet_npy_dir,
+                                  args.overlapping_class_file))
+
+
+if __name__ == '__main__':
+    main()
