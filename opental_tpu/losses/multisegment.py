@@ -117,8 +117,7 @@ def _bce_with_logits(logits: Array, labels: Array) -> Array:
 def multisegment_loss(cfg: LossConfig, out: Dict[str, Any], truths: Array,
                       labels: Array, gt_mask: Array,
                       edl_state: Optional[EDLState] = None,
-                      epoch: Array = jnp.asarray(0),
-                      rpl_radius: Optional[Array] = None
+                      epoch: Array = jnp.asarray(0)
                       ) -> Tuple[Dict[str, Array], Optional[EDLState]]:
     """Full detection loss. Returns ({loss_l, loss_c, loss_prop_l,
     loss_prop_c, loss_ct, loss_act, loss_prop_act}, new_edl_state);
@@ -171,7 +170,7 @@ def multisegment_loss(cfg: LossConfig, out: Dict[str, Any], truths: Array,
             return loss_val, new_state
         if cfg.cls_type == 'rpl':
             return rpl_loss(logits_flat, targets_flat, valid, feats,
-                            centers, rpl_radius,
+                            centers, out['rpl_radius'][0],
                             temperature=cfg.rpl_temperature,
                             weight_pl=cfg.rpl_weight_pl, gcpl=cfg.rpl_gcpl,
                             size_average=cfg.size_average,

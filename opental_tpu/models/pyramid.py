@@ -292,9 +292,13 @@ class CoarsePyramid(nn.Module):
         })
         if self.use_rpl:
             # expose learned reciprocal points for the RPL loss
-            # (thumos14/BDNet.py:528-532)
+            # (thumos14/BDNet.py:528-532); the loss's learnable radius
+            # (reference RPLoss.radius, cls_loss.py:349) lives here so it
+            # rides the model optimizer like any parameter
             out['cls_ctr'] = self.get_variable('params',
                                                'conf_head')['centers']
             out['prop_cls_ctr'] = self.get_variable(
                 'params', 'prop_conf_head')['centers']
+            out['rpl_radius'] = self.param(
+                'rpl_radius', nn.initializers.zeros, (1,))
         return out

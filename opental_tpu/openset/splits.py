@@ -145,3 +145,90 @@ def generate_thumos_splits(anno_path: str, result_anno_path: str,
         shutil.copyfile(src, os.path.join(result_anno_path,
                                           'test_Annotation_open.csv'))
     return unknown_maps
+
+
+def generate_anet_splits(anno_path: str, result_anno_path: str,
+                         num_splits: int = 5, unknown_ratio: float = 0.25,
+                         seed: int = 123) -> None:
+    """ActivityNet open splits: 50 unknown / 150 known of 200 classes
+    (datasets/openset_split_anet.py:90-134). For each split, the big
+    video_info JSON is filtered (training keeps known-only videos) and
+    label ids are re-coded 1..K+U with known classes first."""
+    import json as _json
+    np.random.seed(seed)
+    os.makedirs(result_anno_path, exist_ok=True)
+    class_info_file = os.path.join(anno_path, 'action_name.txt')
+    shutil.copyfile(class_info_file,
+                    os.path.join(result_anno_path, 'action_name.txt'))
+    with open(class_info_file) as f:
+        class_names_all = [ln.strip() for ln in f.read().splitlines()
+                           if ln.strip()]
+    with open(os.path.join(anno_path, 'video_info_train_val.json')) as f:
+        video_info_all = _json.load(f)
+
+    for i in range(num_splits):
+        split_path = os.path.join(result_anno_path, f'split_{i}')
+        os.makedirs(split_path, exist_ok=True)
+        n = len(class_names_all)
+        unknown_idx = np.random.choice(n, size=int(n * unknown_ratio),
+                                       replace=False)
+        classes_unknown = [class_names_all[j] for j in unknown_idx]
+        # NOTE reference quirk kept: known classes come from a set
+        # difference, so their order is python-set order
+        classes_known = list(set(class_names_all) - set(classes_unknown))
+        class_to_id = {name: j + 1 for j, name in
+                       enumerate(classes_known + classes_unknown)}
+        with open(os.path.join(split_path, 'action_all.txt'), 'w') as f:
+            f.write(''.join(name + '\n'
+                            for name in classes_known + classes_unknown))
+        with open(os.path.join(split_path, 'action_known.txt'), 'w') as f:
+            f.write(''.join(name + '\n' for name in classes_known))
+
+        filtered = {}
+        for video_name, info in video_info_all.items():
+            this = copy.deepcopy(info)
+            if this['subset'] == 'training':
+                annos = [dict(a, label_id=class_to_id[a['label']])
+                         for a in this['annotations']
+                         if a['label'] in class_to_id
+                         and a['label'] in classes_known]
+                if not annos:
+                    continue
+                this['annotations'] = annos
+            else:
+                this['annotations'] = [
+                    dict(a, label_id=class_to_id.get(a['label'], 0))
+                    for a in this['annotations']]
+            filtered[video_name] = this
+        with open(os.path.join(split_path,
+                               'video_info_trainval_openset.json'),
+                  'w') as f:
+            _json.dump(filtered, f)
+
+
+def merge_thumos_anet_gt(thumos_gt_path: str, anet_gt_path: str,
+                         overlapping_class_file: str,
+                         merged_gt_file: str,
+                         anet_subset: str = 'validation') -> int:
+    """Merged cross-dataset GT: THUMOS test videos + ANet validation
+    videos with THUMOS-overlapping classes excluded
+    (datasets/merge_thumos_anet_gt.py:49-76). Returns video count."""
+    import json as _json
+    with open(thumos_gt_path) as f:
+        merged = _json.load(f)
+    merged['database'] = {k: v for k, v in merged['database'].items()
+                          if v['subset'] == 'test'}
+    with open(overlapping_class_file) as f:
+        excluded = {ln.strip() for ln in f.read().splitlines()
+                    if ln.strip()}
+    with open(anet_gt_path) as f:
+        anet = _json.load(f)['database']
+    for vid, v in anet.items():
+        if v['subset'] != anet_subset:
+            continue
+        if any(a['label'] in excluded for a in v['annotations']):
+            continue
+        merged['database'][vid] = v
+    with open(merged_gt_file, 'w') as f:
+        _json.dump(merged, f)
+    return len(merged['database'])

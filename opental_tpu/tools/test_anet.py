@@ -61,18 +61,34 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
     flags = factory.model_flags(cfg)
     use_edl, os_head = flags['use_edl'], flags['os_head']
     num_classes = flags['num_classes'] - (1 if os_head else 0)
+    fusion = te.get('fusion', False)
 
     model = factory.build_model(cfg, frame_num=clip_length,
                                 dtype=jnp.bfloat16)
     variables = load_variables(
         model, te['checkpoint_path'],
         (1, clip_length, crop_size, crop_size, model.in_channels))
+    flow_model = flow_vars = None
+    if fusion:
+        # RGB+flow late fusion by head-wise averaging
+        # (AFSD/anet/test_fusion.py)
+        flow_model = factory.build_model(cfg, frame_num=clip_length,
+                                         dtype=jnp.bfloat16,
+                                         in_channels=2)
+        flow_vars = load_variables(
+            flow_model, te['flow_checkpoint_path'],
+            (1, clip_length, crop_size, crop_size, 2))
 
     score_func = 'dirichlet' if use_edl else 'softmax'
 
     @jax.jit
-    def forward_decode(variables, clips):
+    def forward_decode(variables, clips, flow_variables=None,
+                       flow_clips=None):
         out = model.apply(variables, clips)
+        if flow_model is not None and flow_clips is not None:
+            from opental_tpu.infer.decode import fuse_streams
+            out = fuse_streams(out, flow_model.apply(flow_variables,
+                                                     flow_clips))
         return decode_windows(out, clip_length, use_edl=use_edl,
                               os_head=os_head, score_func=score_func,
                               evidence=flags['evidence'])
@@ -82,6 +98,7 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
     idx_to_class = load_class_names(cfg.get_path(
         'dataset.class_info_path'))
     npy_dir = cfg.get_path('dataset.testing.video_mp4_path')
+    flow_dir = te.get('flow_data_path', npy_dir)
     names = [n for n in video_infos
              if os.path.exists(os.path.join(npy_dir, n + '.npy'))]
     names = names[:max_videos]
@@ -98,7 +115,13 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
         clips = np.stack([prepare_window(
             os.path.join(npy_dir, n + '.npy'), clip_length, crop_size)
             for n in chunk])
-        dec = forward_decode(variables, jnp.asarray(clips))
+        fclips = None
+        if fusion:
+            fclips = jnp.asarray(np.stack([prepare_window(
+                os.path.join(flow_dir, n + '.npy'), clip_length,
+                crop_size) for n in chunk]))
+        dec = forward_decode(variables, jnp.asarray(clips), flow_vars,
+                             fclips)
         segs = np.asarray(dec.segments)
         scores = np.asarray(dec.scores)
         unct = (np.asarray(dec.uncertainty) if use_edl else None)

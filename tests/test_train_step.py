@@ -113,3 +113,26 @@ def test_data_parallel_mesh(setup):
     new_state, metrics = jitted(state, batch, jnp.asarray(1))
     assert np.isfinite(float(metrics['cost']))
     assert int(new_state.step) == 1
+
+
+def test_rpl_train_step_smoke():
+    """RPL/GCPL training path: distances head + learnable radius."""
+    model = BDNet(num_classes=16, os_head=False, use_edl=False,
+                  use_rpl=True, frame_num=FRAME)
+    batch = tiny_batch(seed=3)
+    variables = model.init(jax.random.PRNGKey(1), batch['clips'])
+    assert 'rpl_radius' in variables['params']['pyramid']
+    cfg = LossConfig(num_classes=16, clip_length=FRAME, piou=0.5,
+                     cls_type='rpl', os_head=False,
+                     rpl_temperature=1.0, rpl_weight_pl=0.1)
+    tx = make_optimizer(1e-5, 1e-3)
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=None)
+    step_fn = jax.jit(make_train_step(model, cfg, LossWeights(ssl=0.0), tx))
+    new_state, metrics = step_fn(state, batch, jnp.asarray(1))
+    assert np.isfinite(float(metrics['cost']))
+    r0 = float(state.params['pyramid']['rpl_radius'][0])
+    r1 = float(new_state.params['pyramid']['rpl_radius'][0])
+    assert r0 != r1, 'rpl radius should receive gradient'
