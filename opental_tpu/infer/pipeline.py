@@ -65,7 +65,7 @@ class InferencePipeline:
                  nms_sigma: float = 0.5, use_edl: bool = False,
                  os_head: bool = False, use_gcpl: bool = False,
                  evidence: str = 'exp',
-                 flow_model=None, flow_variables=None):
+                 flow_model=None, flow_variables=None, mesh=None):
         self.model = model
         self.variables = variables
         self.flow_model = flow_model
@@ -81,9 +81,9 @@ class InferencePipeline:
         self.use_gcpl = use_gcpl
         self.evidence = evidence
         self.num_classes = model.head_classes
+        self.mesh = mesh
         score_func = 'dirichlet' if use_edl else 'softmax'
 
-        @jax.jit
         def forward_decode(variables, clips, flow_vars=None,
                            flow_clips=None):
             out = model.apply(variables, clips)
@@ -94,7 +94,24 @@ class InferencePipeline:
                                   os_head=os_head, score_func=score_func,
                                   evidence=evidence, negate_conf=use_gcpl)
 
-        self._forward_decode = forward_decode
+        if mesh is not None:
+            # shard the window axis across the data mesh: windows of one
+            # video spread over chips (the workload's natural sequence
+            # parallelism, SURVEY.md §5), params replicated
+            assert flow_model is None, \
+                'mesh-sharded inference supports single-stream models'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from opental_tpu.parallel.mesh import DATA_AXIS
+            sharded = jax.jit(
+                lambda variables, clips: forward_decode(variables, clips),
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P(DATA_AXIS))),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+            self._forward_decode = \
+                lambda v, c, fv=None, fc=None: sharded(v, c)
+        else:
+            self._forward_decode = jax.jit(forward_decode)
 
     def run_video(self, data: np.ndarray, sample_count: int,
                   sample_fps: float, flow_data: Optional[np.ndarray] = None,
@@ -105,7 +122,9 @@ class InferencePipeline:
         data = transforms.center_crop(data, self.crop_size)
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
-        clips = stack_windows(data, offsets, self.clip_length)
+        granule = self.mesh.size if self.mesh is not None else 8
+        clips = stack_windows(data, offsets, self.clip_length,
+                              bucket=granule)
         flow_clips = None
         if flow_data is not None:
             flow_data = transforms.center_crop(flow_data, self.crop_size)

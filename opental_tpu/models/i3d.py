@@ -18,7 +18,8 @@ from typing import Any, Dict, Sequence, Tuple
 import jax
 from flax import linen as nn
 
-from opental_tpu.models.layers import Unit3D, max_pool_3d_same
+from opental_tpu.models.layers import (FrozenBatchNorm, SpaceToDepthConv3d,
+                                       Unit3D, max_pool_3d_same)
 
 Array = jax.Array
 
@@ -50,6 +51,22 @@ MAXPOOL_SPECS = {
     'MaxPool3d_4a_3x3': ((3, 3, 3), (2, 2, 2)),
     'MaxPool3d_5a_2x2': ((2, 2, 2), (2, 2, 2)),
 }
+
+
+class Stem(nn.Module):
+    """Conv3d_1a_7x7 block with the space-to-depth conv. Param paths
+    ('conv/kernel', 'bn/*') match the plain Unit3D layout."""
+
+    features: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = SpaceToDepthConv3d(self.features, kernel=(7, 7, 7),
+                               in_channels=x.shape[-1], dtype=self.dtype,
+                               name='conv')(x)
+        x = FrozenBatchNorm(self.features, name='bn')(x)
+        return jax.numpy.maximum(x, 0)
 
 
 class InceptionModule(nn.Module):
@@ -84,6 +101,9 @@ class InceptionI3d(nn.Module):
 
     final_endpoint: str = 'Mixed_5c'
     keep: Sequence[str] = ('Mixed_4f', 'Mixed_5c')
+    # stem via exact space-to-depth rewrite (8x MXU lane utilization on
+    # the 3-channel 7x7x7 stride-2 conv, ~90% of backbone time otherwise)
+    s2d_stem: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -93,8 +113,11 @@ class InceptionI3d(nn.Module):
         kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
         for ep in ENDPOINTS:
             if ep == 'Conv3d_1a_7x7':
-                x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
-                           name=ep, **kw)(x)
+                if self.s2d_stem:
+                    x = Stem(64, dtype=self.dtype, name=ep)(x)
+                else:
+                    x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
+                               name=ep, **kw)(x)
             elif ep == 'Conv3d_2b_1x1':
                 x = Unit3D(64, kernel=(1, 1, 1), name=ep, **kw)(x)
             elif ep == 'Conv3d_2c_3x3':

@@ -1,0 +1,37 @@
+"""Mesh-sharded window-batched inference on the 8-device CPU mesh:
+results must match single-device inference exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from opental_tpu.infer.pipeline import InferencePipeline
+from opental_tpu.models.bdnet import BDNet
+from opental_tpu.parallel import mesh as meshlib
+
+
+@pytest.mark.slow
+def test_mesh_inference_matches_single_device():
+    import jax.numpy as jnp
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=128)
+    x0 = jnp.zeros((1, 128, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    kwargs = dict(clip_length=128, stride=32, crop_size=32,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    single = InferencePipeline(model, variables, **kwargs)
+    mesh = meshlib.make_mesh()
+    sharded = InferencePipeline(model, variables, mesh=mesh, **kwargs)
+
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 255, (400, 40, 40, 3), dtype=np.uint8)
+    props_a = single.run_video(data, sample_count=400, sample_fps=10.0)
+    props_b = sharded.run_video(data, sample_count=400, sample_fps=10.0)
+
+    assert len(props_a) == len(props_b)
+    for a, b in zip(props_a, props_b):
+        assert a['cls'] == b['cls']
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-5)
+        np.testing.assert_allclose(a['segment'], b['segment'], rtol=1e-5)
