@@ -31,15 +31,25 @@ from opental_tpu.utils.torch_convert import (convert_i3d_checkpoint,
 
 
 class MetricsLogger:
-    """JSONL metrics stream + epoch summaries (stands in for the
-    reference's tensorboardX writer, train.py:254-268)."""
+    """JSONL metrics stream + optional TensorBoard scalars + epoch
+    summaries (the reference logs via tensorboardX for split 0 only,
+    train.py:254-268)."""
 
-    def __init__(self, workdir: str, enabled: bool = True):
+    def __init__(self, workdir: str, enabled: bool = True,
+                 tensorboard: bool = True):
         self.enabled = enabled
         self.path = os.path.join(workdir, 'metrics.jsonl')
+        self._tb = None
         if enabled:
             os.makedirs(workdir, exist_ok=True)
             self._f = open(self.path, 'a')
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(
+                        os.path.join(workdir, 'tensorboard'))
+                except Exception:
+                    self._tb = None
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
         if not self.enabled:
@@ -48,6 +58,10 @@ class MetricsLogger:
         rec.update({k: float(v) for k, v in metrics.items()})
         self._f.write(json.dumps(rec) + '\n')
         self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != 'step':
+                    self._tb.add_scalar(f'train/{k}', v, step)
 
 
 def init_state(cfg: Config, model, tx, rng_key,
