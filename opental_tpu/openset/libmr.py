@@ -101,6 +101,9 @@ class MR:
     def w_score_vector(self, xs: Sequence[float]) -> np.ndarray:
         lib = _load()
         arr = np.ascontiguousarray(xs, dtype=np.float64)
+        if not self.is_valid:
+            # degenerate fit (e.g. tail too small): no rejection mass
+            return np.zeros_like(arr)
         out = np.empty_like(arr)
         lib.mr_w_score_vector(_as_double_ptr(arr), len(arr), self.scale,
                               self.shape, self.translate_amount,

@@ -98,10 +98,14 @@ def save_mav_dist(mav_dist_dir: str,
                   coarse: Dict[str, Tuple[np.ndarray, np.ndarray]],
                   refined: Dict[str, Tuple[np.ndarray, np.ndarray]]
                   ) -> None:
+    """One npz per class. A class missing one stage (no positive matches
+    — the reference would crash on np.stack of an empty list) falls back
+    to the other stage's MAV so OpenMax stays shape-consistent."""
     os.makedirs(mav_dist_dir, exist_ok=True)
-    for name in coarse:
-        mav, dist = coarse[name]
-        mav_p, dist_p = refined[name]
+    for name in set(coarse) | set(refined):
+        fallback = coarse.get(name) or refined.get(name)
+        mav, dist = coarse.get(name, fallback)
+        mav_p, dist_p = refined.get(name, fallback)
         np.savez(os.path.join(mav_dist_dir, f'{name}.npz'), mav=mav,
                  dist=dist, mav_prop=mav_p, dist_prop=dist_p)
 

@@ -72,87 +72,111 @@ def compute_mav_dist(cfg: Config, mav_dist_dir: str,
                   accumulate_mavs(refined))
 
 
-def run_openmax_test(cfg: Config, mav_dist_dir: str, tailsize: int = 20,
-                     max_videos: Optional[int] = None) -> str:
-    te = cfg.testing
-    clip_length = cfg.get_path('dataset.testing.clip_length', 256)
-    crop_size = cfg.get_path('dataset.testing.crop_size', 96)
-    stride = cfg.get_path('dataset.testing.clip_stride', 128)
-    model = factory.build_model(cfg, frame_num=clip_length)
-    variables = load_variables(
-        model, te['checkpoint_path'],
-        (1, clip_length, crop_size, crop_size, model.in_channels))
-    _, idx_to_class = get_class_index_map(
-        cfg.get_path('dataset.class_info_path'))
-    num_classes = model.head_classes
+class OpenMaxInference:
+    """Recalibrated window-batched inference shared by the in-domain
+    and cross-data OpenMax drivers."""
 
-    class_names = [idx_to_class[i] for i in sorted(idx_to_class)]
-    wm, wpm = weibull_fitting(mav_dist_dir, class_names, tailsize)
-    openmax = OpenMax(wm)
-    openmax_prop = OpenMax(wpm)
+    def __init__(self, cfg: Config, mav_dist_dir: str, tailsize: int = 20):
+        te = cfg.testing
+        self.cfg = cfg
+        self.clip_length = cfg.get_path('dataset.testing.clip_length', 256)
+        self.crop_size = cfg.get_path('dataset.testing.crop_size', 96)
+        self.stride = cfg.get_path('dataset.testing.clip_stride', 128)
+        self.conf_thresh = te.get('conf_thresh', 0.01)
+        self.nms_sigma = te.get('nms_sigma', 0.5)
+        self.top_k = te.get('top_k', 5000)
+        model = factory.build_model(cfg, frame_num=self.clip_length)
+        self.variables = load_variables(
+            model, te['checkpoint_path'],
+            (1, self.clip_length, self.crop_size, self.crop_size,
+             model.in_channels))
+        _, self.idx_to_class = get_class_index_map(
+            cfg.get_path('dataset.class_info_path'))
+        self.num_classes = model.head_classes
+        class_names = [self.idx_to_class[i]
+                       for i in sorted(self.idx_to_class)]
+        wm, wpm = weibull_fitting(mav_dist_dir, class_names, tailsize)
+        self.openmax = OpenMax(wm)
+        self.openmax_prop = OpenMax(wpm)
+        clip_length = self.clip_length
 
-    @jax.jit
-    def forward(variables, clips):
-        out = model.apply(variables, clips, get_feat=True)
-        loc, prop_loc = out['loc'], out['prop_loc']
-        pre_w = loc[..., :1] + loc[..., 1:]
-        fused = 0.5 * pre_w * prop_loc + loc
-        priors = out['priors'][None, :, :1]
-        segs = jnp.clip(jnp.concatenate(
-            [priors * clip_length - fused[..., :1],
-             priors * clip_length + fused[..., 1:]], -1), 0, clip_length)
-        return (segs, out['conf'], out['prop_conf'],
-                jax.nn.sigmoid(out['center'][..., 0]),
-                out['conf_feat'], out['prop_conf_feat'])
+        @jax.jit
+        def forward(variables, clips):
+            out = model.apply(variables, clips, get_feat=True)
+            loc, prop_loc = out['loc'], out['prop_loc']
+            pre_w = loc[..., :1] + loc[..., 1:]
+            fused = 0.5 * pre_w * prop_loc + loc
+            priors = out['priors'][None, :, :1]
+            segs = jnp.clip(jnp.concatenate(
+                [priors * clip_length - fused[..., :1],
+                 priors * clip_length + fused[..., 1:]], -1), 0,
+                clip_length)
+            return (segs, out['conf'], out['prop_conf'],
+                    jax.nn.sigmoid(out['center'][..., 0]),
+                    out['conf_feat'], out['prop_conf_feat'])
 
-    infos = get_video_info(cfg.get_path(
-        'dataset.testing.video_info_path'))
-    npy = cfg.get_path('dataset.testing.video_data_path')
-    result_dict: Dict[str, List[dict]] = {}
-    for name in list(infos)[:max_videos]:
-        info = infos[name]
-        data = transforms.center_crop(
-            np.load(os.path.join(npy, name + '.npy')), crop_size)
-        offsets = window_offsets(info['sample_count'], clip_length, stride)
-        clips = stack_windows(data, offsets, clip_length)
+        self._forward = forward
+
+    def run_video(self, data: np.ndarray, sample_count: int,
+                  sample_fps: float) -> List[dict]:
+        data = transforms.center_crop(data, self.crop_size)
+        offsets = window_offsets(sample_count, self.clip_length,
+                                 self.stride)
+        clips = stack_windows(data, offsets, self.clip_length)
         segs, conf, prop_conf, center, feat, prop_feat = [
-            np.asarray(a) for a in forward(variables,
-                                           jnp.asarray(clips))]
+            np.asarray(a) for a in self._forward(self.variables,
+                                                 jnp.asarray(clips))]
         n = len(offsets)
         segs, conf, prop_conf = segs[:n], conf[:n], prop_conf[:n]
         center, feat, prop_feat = center[:n], feat[:n], prop_feat[:n]
         seconds = (segs + np.asarray(offsets, np.float32)[:, None, None]) \
-            / info['sample_fps']
+            / sample_fps
 
         # OpenMax recalibration per window batch: drop the background
         # logit column, unknown mass takes its slot (test_openmax.py:158)
         p, k = conf.shape[1], conf.shape[2]
-        probs = openmax(conf[..., 1:].reshape(-1, k - 1),
-                        feat.reshape(-1, feat.shape[-1])).reshape(n, p, k)
-        prop_probs = openmax_prop(
+        probs = self.openmax(
+            conf[..., 1:].reshape(-1, k - 1),
+            feat.reshape(-1, feat.shape[-1])).reshape(n, p, k)
+        prop_probs = self.openmax_prop(
             prop_conf[..., 1:].reshape(-1, k - 1),
             prop_feat.reshape(-1, prop_feat.shape[-1])).reshape(n, p, k)
         scores = (probs + prop_probs) / 2.0 * center[..., None]
 
         seconds_flat = seconds.reshape(-1, 2)
         scores_flat = scores.reshape(-1, k)
-        props = []
-        for cl in range(1, num_classes):
-            mask = scores_flat[:, cl] > te.get('conf_thresh', 0.01)
+        props: List[dict] = []
+        for cl in range(1, self.num_classes):
+            mask = scores_flat[:, cl] > self.conf_thresh
             if not mask.any():
                 continue
             block = np.concatenate(
                 [seconds_flat[mask], scores_flat[mask, cl][:, None]], 1)
-            kept, _ = soft_nms_numpy(block, sigma=te.get('nms_sigma', 0.5),
-                                     top_k=te.get('top_k', 5000))
+            kept, _ = soft_nms_numpy(block, sigma=self.nms_sigma,
+                                     top_k=self.top_k)
             for row in kept:
                 if row[2] <= 0:
                     continue
-                props.append({'label': idx_to_class[cl],
+                props.append({'label': self.idx_to_class[cl],
                               'score': float(row[2]),
                               'segment': [float(row[0]), float(row[1])],
                               'uncertainty': 0.0, 'actionness': 0.0})
-        result_dict[name] = props
+        return props
+
+
+def run_openmax_test(cfg: Config, mav_dist_dir: str, tailsize: int = 20,
+                     max_videos: Optional[int] = None) -> str:
+    te = cfg.testing
+    om = OpenMaxInference(cfg, mav_dist_dir, tailsize)
+    infos = get_video_info(cfg.get_path(
+        'dataset.testing.video_info_path'))
+    npy = cfg.get_path('dataset.testing.video_data_path')
+    result_dict: Dict[str, List[dict]] = {}
+    for name in list(infos)[:max_videos]:
+        info = infos[name]
+        data = np.load(os.path.join(npy, name + '.npy'))
+        result_dict[name] = om.run_video(data, info['sample_count'],
+                                         info['sample_fps'])
 
     payload = {'version': 'THUMOS14', 'results': result_dict,
                'external_data': {}}
@@ -165,8 +189,50 @@ def run_openmax_test(cfg: Config, mav_dist_dir: str, tailsize: int = 20,
     return out_path
 
 
+def run_openmax_cross_data(cfg: Config, mav_dist_dir: str,
+                           anet_video_info: str, anet_npy_dir: str,
+                           overlapping_class_file: str,
+                           tailsize: int = 20,
+                           max_videos: Optional[int] = None) -> str:
+    """OpenMax over ANet unknowns merged with the THUMOS results
+    (reference test_openmax_cross_data.py)."""
+    from opental_tpu.data.anet import get_video_info as anet_info
+    from opental_tpu.tools.test_cross_data import (exclude_overlapping,
+                                                   pad_anet_video)
+    te = cfg.testing
+    thumos_path = run_openmax_test(cfg, mav_dist_dir, tailsize, max_videos)
+    with open(thumos_path) as f:
+        thumos_out = json.load(f)
+
+    om = OpenMaxInference(cfg, mav_dist_dir, tailsize)
+    infos = anet_info(anet_video_info, 'validation')
+    results: Dict[str, List[dict]] = {}
+    names = [n for n in infos
+             if os.path.exists(os.path.join(anet_npy_dir, n + '.npy'))]
+    for name in names[:max_videos]:
+        data = pad_anet_video(np.load(
+            os.path.join(anet_npy_dir, name + '.npy')))
+        key = name[2:] if name.startswith('v_') else name
+        results[key] = om.run_video(data, data.shape[0],
+                                    infos[name]['fps'])
+    filtered = exclude_overlapping(results, infos, overlapping_class_file)
+    merged = dict(thumos_out['results'])
+    merged.update(filtered)
+    out_path = os.path.join(te.get('output_path', './output'),
+                            'thumos14_anet_merged.json')
+    with open(out_path, 'w') as f:
+        json.dump({'version': 'THUMOS14', 'results': merged,
+                   'external_data': {}}, f)
+    return out_path
+
+
 def main(argv=None) -> None:
-    cfg = config_from_args(argv)
+    argv = list(argv) if argv is not None else None
+    import sys
+    raw = argv if argv is not None else sys.argv[1:]
+    cross = '--cross_data' in raw
+    raw = [a for a in raw if a != '--cross_data']
+    cfg = config_from_args(raw)
     mav_dist_dir = os.path.join(cfg.testing.get('output_path', './output'),
                                 'mav_dist')
     # stage idempotence as in test_openmax.py:407-414
@@ -176,7 +242,14 @@ def main(argv=None) -> None:
                 for n in idx_to_class.values())
     if not ready:
         compute_mav_dist(cfg, mav_dist_dir)
-    print('wrote', run_openmax_test(cfg, mav_dist_dir))
+    if cross:
+        print('wrote', run_openmax_cross_data(
+            cfg, mav_dist_dir,
+            'datasets/activitynet/annotations/video_info_train_val.json',
+            'datasets/activitynet/train_val_npy_112',
+            'datasets/activitynet/overlapping_classes_in_thumos.txt'))
+    else:
+        print('wrote', run_openmax_test(cfg, mav_dist_dir))
 
 
 if __name__ == '__main__':

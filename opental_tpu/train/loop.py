@@ -133,6 +133,12 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
 
     rng_key = jax.random.PRNGKey(seed)
     resume = tr.get('resume', 0)
+    if resume == -1:
+        # fault tolerance: resume from the newest checkpoint if any
+        # (restart-safe training; the reference only supports explicit
+        # epoch numbers, train.py:121-131)
+        latest = ckpt.latest_epoch(checkpoint_path)
+        resume = latest if latest is not None else 0
     if resume and resume > 0:
         template = init_state(cfg, model, tx, rng_key,
                               (1, clip_length, crop_size, crop_size,
