@@ -39,6 +39,12 @@ def _bucket(n: int, granule: int = 8) -> int:
     return max(granule, ((n + granule - 1) // granule) * granule)
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_device_nms():
+    from opental_tpu.ops.nms import soft_nms_device
+    return jax.jit(soft_nms_device, static_argnames=('sigma', 'top_k'))
+
+
 def stack_windows(data: np.ndarray, offsets: Sequence[int],
                   clip_length: int, pad_value: float = 0.0,
                   bucket: int = 8) -> np.ndarray:
@@ -65,7 +71,8 @@ class InferencePipeline:
                  nms_sigma: float = 0.5, use_edl: bool = False,
                  os_head: bool = False, use_gcpl: bool = False,
                  evidence: str = 'exp',
-                 flow_model=None, flow_variables=None, mesh=None):
+                 flow_model=None, flow_variables=None, mesh=None,
+                 device_nms: bool = False):
         self.model = model
         self.variables = variables
         self.flow_model = flow_model
@@ -82,6 +89,7 @@ class InferencePipeline:
         self.evidence = evidence
         self.num_classes = model.head_classes
         self.mesh = mesh
+        self.device_nms = device_nms
         score_func = 'dirichlet' if use_edl else 'softmax'
 
         def forward_decode(variables, clips, flow_vars=None,
@@ -156,6 +164,31 @@ class InferencePipeline:
         seconds = (segments + off) / sample_fps
         return self._post_process(seconds, conf, unct, act)
 
+    def _soft_nms(self, block: np.ndarray) -> np.ndarray:
+        """Greedy gaussian-decay suppression of one class's candidates.
+
+        Host numpy by default; with device_nms=True the candidate block
+        pads to a bucket size and runs the bounded lax.while_loop kernel
+        (ops/nms.soft_nms_device) — same results, no host loop.
+        """
+        if not self.device_nms:
+            kept, _ = soft_nms_numpy(block, sigma=self.nms_sigma,
+                                     top_k=self.top_k)
+            return kept
+        import jax.numpy as jnp
+        n, d = block.shape
+        n_pad = max(64, 1 << (n - 1).bit_length())
+        padded = np.zeros((n_pad, d), np.float32)
+        padded[:n] = block
+        valid = np.zeros((n_pad,), bool)
+        valid[:n] = True
+        out, _ = _jitted_device_nms()(jnp.asarray(padded),
+                                      sigma=self.nms_sigma,
+                                      top_k=self.top_k,
+                                      valid=jnp.asarray(valid))
+        out = np.asarray(out)
+        return out[out[:, -1] > 0][:, :-1]
+
     def _post_process(self, seconds: np.ndarray, conf: np.ndarray,
                       unct: Optional[np.ndarray],
                       act: Optional[np.ndarray]) -> List[Dict[str, Any]]:
@@ -186,8 +219,7 @@ class InferencePipeline:
             if self.os_head:
                 cols.append(flat_act[mask][:, None])
             block = np.concatenate(cols, axis=1)
-            kept, _ = soft_nms_numpy(block, sigma=self.nms_sigma,
-                                     top_k=self.top_k)
+            kept = self._soft_nms(block)
             collected.append(kept)
 
         for cl, kept in zip(cls_range, collected):

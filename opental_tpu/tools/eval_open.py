@@ -49,6 +49,10 @@ def main(argv=None) -> None:
     p.add_argument('--cls_idx_known', type=str)
     p.add_argument('--all_splits', nargs='+', type=int, default=[0])
     p.add_argument('--open_set', action='store_true')
+    p.add_argument('--draw_auc', action='store_true',
+                   help='dump ROC/PR/OSDR curve pickles + PNGs per split')
+    p.add_argument('--wi', action='store_true',
+                   help='also compute Wilderness Impact')
     p.add_argument('--dataset', type=str, default='thumos14',
                    choices=['thumos14', 'thumos_anet', 'anet'])
     p.add_argument('--ood_scoring', type=str, default='confidence',
@@ -87,6 +91,18 @@ def main(argv=None) -> None:
             ev.pre_evaluate()
             auc_roc, auc_pr, far_95 = ev.evaluate('AUC')
             osdr = ev.evaluate('OSDR')
+            if args.draw_auc:
+                from opental_tpu.eval.curves import (collect_roc_pr_curves,
+                                                     save_curve_data)
+                scores, _, gts = ev.eval_data
+                curves = collect_roc_pr_curves(scores, gts, tious)
+                save_curve_data(curves['roc'], curves['pr'],
+                                os.path.join(os.path.dirname(pred_file),
+                                             'auc_data'), vis=True)
+            if args.wi:
+                m_wi, avg_wi, _ = ev.evaluate('WI')
+                print(f'split {split}: mean WI per tIoU = '
+                      f'{np.round(m_wi, 5)}, average mWI = {avg_wi:.5f}')
             open_all['far'].append(far_95)
             open_all['roc'].append(auc_roc)
             open_all['pr'].append(auc_pr)
