@@ -38,6 +38,13 @@ def build_model(cfg: Config, frame_num: Optional[int] = None,
     flags = model_flags(cfg)
     if in_channels is not None:
         flags['in_channels'] = in_channels
+    if dtype is None:
+        # optional config knob: model.compute_dtype: bfloat16 runs the
+        # conv stack in bf16 (params stay f32); default f32
+        name = cfg.get_path('model.compute_dtype')
+        if name in ('bfloat16', 'bf16'):
+            import jax.numpy as jnp
+            dtype = jnp.bfloat16
     frame = frame_num or cfg.get_path('dataset.training.clip_length', 256)
     return BDNet(frame_num=frame, deterministic=deterministic, dtype=dtype,
                  **flags)
