@@ -25,9 +25,11 @@ def soft_nms_numpy(segments: np.ndarray, sigma: float = 0.5,
                    top_k: int = 1000, score_threshold: float = SCORE_FLOOR,
                    ) -> Tuple[np.ndarray, int]:
     """segments: (N, D>=3) [start, end, score, *extras]. Returns
-    (kept (M, D) rows in pick order, M). Greedy: pick argmax score among
-    undone, gaussian-decay overlapping undone scores, repeat while any
-    undone >= threshold and fewer than top_k picked."""
+    (kept (M, D) rows in original index order — boolean-mask selection,
+    as the reference does — with scores as of pick time, M). Greedy:
+    pick argmax score among undone, gaussian-decay overlapping undone
+    scores, repeat while any undone >= threshold and fewer than top_k
+    picked."""
     segments = np.asarray(segments, np.float32).copy()
     tstart, tend = segments[:, 0], segments[:, 1]
     tscore = segments[:, 2]

@@ -97,3 +97,26 @@ def test_large_window_and_full_range():
     segments = np.array([[[0, 255, 0, 255]]], np.float32)
     got = np.asarray(boundary_max_pool(jnp.asarray(x), jnp.asarray(segments)))
     np.testing.assert_allclose(got[0, 0], x[0].max(axis=0), rtol=0, atol=0)
+
+
+def test_conv3d_temporal_decomp_matches_nn_conv():
+    """Library op retained for lane-starved stems: decomposed conv3d
+    equals flax nn.Conv with SAME padding."""
+    import jax
+    from flax import linen as nn
+
+    from opental_tpu.models.layers import Unit3D, _same_pad_amount
+    from opental_tpu.models.layers import conv3d_temporal_decomp
+
+    rng = np.random.RandomState(3)
+    for kernel, stride in [((3, 3, 3), (1, 1, 1)), ((7, 7, 7), (2, 2, 2))]:
+        x = jnp.asarray(rng.randn(2, 16, 20, 20, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(*kernel, 5, 7).astype(np.float32))
+        pads = [_same_pad_amount(x.shape[1 + i], kernel[i], stride[i])
+                for i in range(3)]
+        got = conv3d_temporal_decomp(x, k, stride, pads)
+        want = jax.lax.conv_general_dilated(
+            x, k, stride, 'SAME',
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=2e-4)
