@@ -4,6 +4,14 @@ export PYTHONPATH := $(CURDIR):/root/.axon_site
 test:
 	python -m pytest tests/ -q -m "not slow"
 
+# per-round CI tier: fast tests + the strongest end-to-end checks
+# (full bdnet forward parity, composed-pipeline parity, sharded-train
+# equivalence)
+ci:
+	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/test_bdnet_parity.py \
+	    tests/test_composed_parity.py tests/test_mesh_train.py -q
+
 test-all:
 	python -m pytest tests/ -q
 
@@ -19,4 +27,4 @@ libmr:
 configs:
 	python configs/generate.py
 
-.PHONY: test test-all bench dryrun libmr configs
+.PHONY: test ci test-all bench dryrun libmr configs

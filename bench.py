@@ -1,20 +1,26 @@
-"""Benchmark: THUMOS14 256-frame inference throughput (clips/sec/chip).
+"""Benchmark: THUMOS14 256-frame inference throughput (clips/sec/chip),
+plus MFU, end-to-end videos->JSON throughput, train-step throughput, and
+an on-device Pallas-vs-XLA boundary-pooling equivalence check.
 
-Protocol mirrors the reference speed test (AFSD/thumos14/BDNet.py:564-588:
-timed forwards on [1, 3, 256, 96, 96] with warmups), upgraded to the
-framework's native window-batched inference: W windows per device step,
-bf16 compute, forward + on-device decode.
+Protocol lineage: the reference speed test (AFSD/thumos14/BDNet.py:564-588)
+times sequential single-clip forwards on [1, 3, 256, 96, 96]; here the
+framework-native window-batched path runs W=64 windows per device step in
+bf16 (forward + on-device decode). The e2e phase runs the full
+InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
+64-window synthetic video. The train phase times the full OpenTAL-final
+jitted train step (EDL-MIB + PU actionness + SSL triplet) at batch 1.
 
 Measurement notes: through the axon TPU tunnel, jax.block_until_ready
 returns before the device finishes, so each iteration is serialized by a
 data dependency (the previous step's scalar output feeds the next input)
-and only one tiny scalar syncs at the end. The reported value is the
-median per-iteration time.
+and only one tiny scalar syncs at the end. Reported value = best of two
+chains. Run-to-run variance is ±15%.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is clips/sec relative to A100_REF_CLIPS_PER_SEC — the
-reference PyTorch protocol on A100 (estimate pending a measured number;
-see BASELINE.md: the repo pins only the protocol, not a figure).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline divides by A100_REF_CLIPS_PER_SEC, derived from a MEASURED
+run of the reference protocol with torch on this host plus documented
+peak-FLOPs scaling (see BASELINE.md "A100 derivation"); it replaces the
+round-1 bare guess.
 """
 
 import json
@@ -27,16 +33,131 @@ import numpy as np
 from opental_tpu.infer.decode import decode_windows
 from opental_tpu.models.bdnet import BDNet
 
-# Estimated reference throughput under its own protocol (single-clip
-# sequential fp32 torch inference on A100). Replace with a measured
-# number when one is available.
-A100_REF_CLIPS_PER_SEC = 25.0
+# ---- derived reference baseline (see BASELINE.md "A100 derivation") ----
+# Measured: torch CPU reference protocol on this host + documented
+# peak-FLOPs scaling to A100 TF32 at the same achieved-MFU operating
+# point. Forward cost measured by XLA cost analysis.
+FLOPS_PER_CLIP = 175.07e9          # fwd [1,256,96,96,3], XLA cost analysis
+V5E_PEAK_BF16 = 197e12             # TPU v5e peak bf16 FLOP/s
+A100_REF_CLIPS_PER_SEC = 49.0      # derived, BASELINE.md "A100 derivation"
 
 BATCH_WINDOWS = 64
 CLIP = 256
 CROP = 96
 WARMUP = 3
 ITERS = 30
+
+
+def chain_time(fn, n, warmup=1):
+    """Median-free min-of-one-chain timing with data-dependent
+    serialization; returns seconds per iteration."""
+    for _ in range(warmup):
+        carry = fn(jnp.float32(0))
+    float(carry)
+    t0 = time.perf_counter()
+    carry = jnp.float32(0)
+    for _ in range(n):
+        carry = fn(carry)
+    float(carry)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_inference(model, variables, x):
+    @jax.jit
+    def forward_decode(variables, clips):
+        out = model.apply(variables, clips)
+        dec = decode_windows(out, CLIP, use_edl=True, os_head=True,
+                             score_func='dirichlet')
+        return dec.scores[0, 0, 0].astype(jnp.float32)
+
+    def step(carry):
+        return forward_decode(variables, x + carry * 0)
+
+    per_iter = min(chain_time(step, ITERS, warmup=WARMUP),
+                   chain_time(step, ITERS))
+    return BATCH_WINDOWS / per_iter
+
+
+def bench_e2e(model, variables):
+    """videos -> proposals including host-side soft-NMS + gathers: one
+    synthetic 8320-frame video = exactly 64 sliding windows."""
+    from opental_tpu.infer.pipeline import InferencePipeline
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=128, crop_size=CROP, conf_thresh=0.01,
+                             top_k=5000, nms_sigma=0.5, use_edl=True,
+                             os_head=True)
+    rng = np.random.RandomState(0)
+    frames = 128 * 63 + 256
+    video = rng.randint(0, 255, (frames, CROP, CROP, 3), np.uint8)
+    # warm the jit (and host path) once, then time
+    pipe.run_video(video, sample_count=frames, sample_fps=10.0,
+                   max_batch=BATCH_WINDOWS)
+    t0 = time.perf_counter()
+    props = pipe.run_video(video, sample_count=frames, sample_fps=10.0,
+                           max_batch=BATCH_WINDOWS)
+    dt = time.perf_counter() - t0
+    return 64 / dt, len(props)
+
+
+def bench_train():
+    """Full OpenTAL-final train step at batch 1 (f32 params, 256-frame),
+    the BASELINE.md train protocol."""
+    from opental_tpu.losses.edl import EDLConfig, EDLState
+    from opental_tpu.losses.multisegment import LossConfig
+    from opental_tpu.train.step import (LossWeights, TrainState,
+                                        make_optimizer, make_train_step)
+    from opental_tpu.utils.synthetic import tiny_train_batch
+
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=CLIP)
+    batch = {k: jnp.asarray(v)
+             for k, v in tiny_train_batch(1, CLIP, CROP).items()}
+    edl = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    iou_aware=True, with_ibm=True, ibm_start=10)
+    cfg = LossConfig(num_classes=15, clip_length=CLIP, piou=0.5,
+                     cls_type='edl', edl=edl, os_head=True,
+                     act_weight=0.1)
+    tx = make_optimizer(1e-5, 1e-3)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch['clips'][:1])
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(edl))
+    step = jax.jit(make_train_step(model, cfg, LossWeights(), tx))
+    epoch = jnp.asarray(11)
+
+    state, metrics = step(state, batch, epoch)   # compile + warm
+    float(metrics['cost'])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, epoch)  # state chains deps
+    float(metrics['cost'])
+    dt = (time.perf_counter() - t0) / n
+    return 1.0 / dt  # clips/sec at bs=1
+
+
+def check_pallas_vs_xla():
+    """The compiled (non-interpret) Pallas boundary-pooling kernel must
+    match the XLA sparse-table path on this device (automates the
+    round-1 by-hand check, PARITY.md)."""
+    from opental_tpu.ops.boundary_pool import boundary_max_pool
+    from opental_tpu.ops.boundary_pool_pallas import (
+        boundary_max_pool_pallas)
+    rng = np.random.RandomState(0)
+    t, k = 256, 126
+    x = jnp.asarray(rng.randn(4, t, 1024), jnp.float32)
+    starts = rng.randint(0, t - 1, (4, k, 2)).astype(np.float32)
+    widths = rng.randint(1, 40, (4, k, 2)).astype(np.float32)
+    segs = jnp.asarray(np.stack(
+        [starts[..., 0], np.clip(starts[..., 0] + widths[..., 0], 0, t - 1),
+         starts[..., 1], np.clip(starts[..., 1] + widths[..., 1], 0, t - 1)],
+        axis=-1))
+    a = np.asarray(jax.jit(boundary_max_pool_pallas)(x, segs))
+    b = np.asarray(jax.jit(boundary_max_pool)(x, segs))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    return 'ok'
 
 
 def main():
@@ -49,30 +170,20 @@ def main():
     # ops, which is pathological through a remote-device tunnel
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
 
-    @jax.jit
-    def forward_decode(variables, clips):
-        out = model.apply(variables, clips)
-        dec = decode_windows(out, CLIP, use_edl=True, os_head=True,
-                             score_func='dirichlet')
-        # scalar witness serializing successive iterations
-        return dec, dec.scores[0, 0, 0].astype(jnp.float32)
+    pallas_check = check_pallas_vs_xla()
+    clips_per_sec = bench_inference(model, variables, x)
+    e2e_clips_per_sec, n_props = bench_e2e(model, variables)
+    train_clips_per_sec = bench_train()
 
-    def run_chain(n):
-        carry = jnp.float32(0)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            _, carry = forward_decode(variables, x + carry * 0)
-        float(carry)  # single sync at the end of the dependency chain
-        return (time.perf_counter() - t0) / n
-
-    run_chain(WARMUP)
-    per_iter = min(run_chain(ITERS), run_chain(ITERS))
-    clips_per_sec = BATCH_WINDOWS / per_iter
     print(json.dumps({
         'metric': 'thumos14_256f_inference_throughput',
         'value': round(clips_per_sec, 2),
         'unit': 'clips/sec/chip',
         'vs_baseline': round(clips_per_sec / A100_REF_CLIPS_PER_SEC, 3),
+        'mfu': round(clips_per_sec * FLOPS_PER_CLIP / V5E_PEAK_BF16, 4),
+        'e2e_clips_per_sec': round(e2e_clips_per_sec, 2),
+        'train_clips_per_sec': round(train_clips_per_sec, 3),
+        'pallas_vs_xla': pallas_check,
     }))
 
 

@@ -161,7 +161,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def config_from_args(argv=None) -> Config:
     """Parse CLI args into a Config (reference entry-point behavior)."""
-    args = build_arg_parser().parse_args(argv)
+    return config_from_namespace(build_arg_parser().parse_args(argv))
+
+
+def config_from_namespace(args) -> Config:
+    """Build a Config from an already-parsed argparse namespace (for
+    tools that extend build_arg_parser with their own flags)."""
     overrides: Dict[str, Any] = {}
     simple = {
         'batch_size': 'training.batch_size',

@@ -36,6 +36,16 @@ def build_model(cfg: Config, frame_num: Optional[int] = None,
                 deterministic: bool = True, dtype=None,
                 in_channels: Optional[int] = None) -> BDNet:
     flags = model_flags(cfg)
+    # The backbone always runs frozen-statistics BN (FrozenBatchNorm);
+    # train-mode BN (freeze_bn: false) is not implemented — every shipped
+    # reference config freezes it (thumos14/BDNet.py:39-49). Fail loudly
+    # rather than silently training with different semantics.
+    if not cfg.get_path('model.freeze_bn', True) \
+            or not cfg.get_path('model.freeze_bn_affine', True):
+        raise NotImplementedError(
+            'freeze_bn/freeze_bn_affine: false is unsupported; the I3D '
+            'backbone always uses frozen BN stats + affine (see '
+            'PARITY.md "Known deviations")')
     if in_channels is not None:
         flags['in_channels'] = in_channels
     if dtype is None:

@@ -6,8 +6,10 @@ pyramid (models/pyramid.py):
  * per-level localization outputs are scaled by fpn_strides [4..128]
  * priors carry (center, level index) -> (P, 2); the level index drives
    the per-level regression-range constraints in the ANet matcher
- * heads additionally get a normal(0, 0.01) re-init on top of glorot
-   (anet/BDNet.py:427-440), reproduced at init time in AnetBDNet
+ * the nine tower/head module groups get a normal(0, 0.01) Conv1d
+   re-init (+ zero bias) on top of glorot (anet/BDNet.py:435-451),
+   applied by `reinit_anet_heads` from train.loop.init_state when
+   training an anet-arch model from scratch
 """
 
 from __future__ import annotations
@@ -47,6 +49,45 @@ def make_anet_priors(frame_num: int = 768,
         rows.append(np.stack([centers, np.full(t, lvl, np.float32)], 1))
         t //= 2
     return np.concatenate(rows, 0)
+
+
+# module groups whose nn.Conv1d layers the reference re-initializes
+# (anet/BDNet.py:439-447); actionness heads, deconv stack, and the
+# pyramid ladder keep their glorot init
+ANET_REINIT_MODULES = ('loc_tower', 'conf_tower', 'loc_head', 'conf_head',
+                       'loc_proposal_branch', 'conf_proposal_branch',
+                       'prop_loc_head', 'prop_conf_head', 'center_head')
+
+
+def reinit_anet_heads(params: Dict[str, Any], rng: Array,
+                      std: float = 0.01) -> Dict[str, Any]:
+    """normal(0, std) re-init of tower/head Conv1d kernels and zeroed
+    biases, after the glorot base init (anet/BDNet.py:448-451:
+    `normal_(layer.weight, 0, 0.01); constant_(layer.bias, 0)` for every
+    nn.Conv1d in the nine listed module groups).
+
+    `params` is the full BDNet param tree (with a 'pyramid' subtree);
+    returns a new tree. Conv1d kernels are the ndim-3 (k, in, out)
+    leaves; GroupNorm scale/bias (ndim 1 under gn/) are untouched.
+    """
+    def visit(path, leaf):
+        parts = [getattr(p, 'key', '') for p in path]
+        if not (parts and parts[0] == 'pyramid'
+                and len(parts) >= 2 and parts[1] in ANET_REINIT_MODULES):
+            return leaf
+        if 'gn' in parts:
+            return leaf
+        if parts[-1] == 'kernel' and leaf.ndim == 3:
+            # stable per-leaf key (str hash() is salted per process)
+            import zlib
+            fold = zlib.crc32('/'.join(parts).encode()) & 0x7fffffff
+            key = jax.random.fold_in(rng, fold)
+            return std * jax.random.normal(key, leaf.shape, leaf.dtype)
+        if parts[-1] == 'bias':
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
 
 
 class AnetCoarsePyramid(nn.Module):

@@ -50,6 +50,42 @@ def threshold_from_results(result_dict: Dict[str, List[dict]],
     return float(score_sorted[top_k - 1])
 
 
+def calibrate_anet(cfg: Config, max_videos: Optional[int] = None,
+                   binary: bool = False,
+                   cls_score_file: Optional[str] = None) -> float:
+    """ANet threshold calibration (AFSD/anet/threshold.py:31-63): run the
+    ANet inference driver over the TRAINING subset, take the score at the
+    95%-TPR percentile (compute_threshold, :13-28), and store it in the
+    detection JSON's external_data."""
+    from opental_tpu.tools.test_anet import run_test_anet
+
+    te = cfg.testing
+    scoring = te.get('ood_scoring', 'confidence')
+    output_file = os.path.join(te.get('output_path', './output'),
+                               te.get('output_json', 'thresholding.json'))
+    if os.path.exists(output_file):
+        with open(output_file) as f:
+            return float(json.load(f)['external_data']['threshold'])
+
+    # point the inference driver at the training videos
+    train_cfg = cfg.clone()
+    train_cfg['testing']['output_json'] = os.path.basename(output_file)
+    tr = cfg.get_path('dataset.training', {})
+    for key in ('video_info_path', 'video_mp4_path', 'video_data_path'):
+        if key in tr:
+            train_cfg['dataset']['testing'][key] = tr[key]
+    out_path = run_test_anet(train_cfg, max_videos=max_videos,
+                             binary=binary, cls_score_file=cls_score_file,
+                             subset='training')
+    with open(out_path) as f:
+        payload = json.load(f)
+    threshold = threshold_from_results(payload['results'], scoring)
+    payload['external_data']['threshold'] = threshold
+    with open(out_path, 'w') as f:
+        json.dump(payload, f)
+    return threshold
+
+
 def calibrate(cfg: Config, pipeline, max_videos: Optional[int] = None
               ) -> float:
     """Run train-set inference with `pipeline` and write the

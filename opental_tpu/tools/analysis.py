@@ -21,7 +21,7 @@ import argparse
 import json
 import os
 import pickle
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -68,6 +68,252 @@ def plot_score_distributions(buckets: Dict[str, Dict[str, list]],
     plt.tight_layout()
     plt.savefig(out_png)
     plt.close()
+
+
+def _known_names(cls_idx: str) -> List[str]:
+    with open(cls_idx) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    parts = [ln.split() for ln in lines]
+    return [p[1] if len(p) > 1 else p[0] for p in parts]
+
+
+def _gt_segments(gt_json: str, cls_idx: str) -> Dict[str, Dict[str, list]]:
+    """Per-video known/unknown GT segments in seconds from the open GT
+    JSON (draw_distribution.py:421-446)."""
+    known = set(_known_names(cls_idx))
+    with open(gt_json) as f:
+        database = json.load(f)['database']
+    out: Dict[str, Dict[str, list]] = {}
+    for vid, entry in database.items():
+        segs = {'known': [], 'unknown': []}
+        for ann in entry.get('annotations', []):
+            key = 'known' if ann['label'] in known else 'unknown'
+            segs[key].append((float(ann['segment'][0]),
+                              float(ann['segment'][1])))
+        out[vid] = segs
+    return out
+
+
+def _dirichlet_prob(logits: np.ndarray) -> np.ndarray:
+    alpha = np.exp(np.clip(logits, -10.0, 10.0)) + 1.0
+    return alpha / alpha.sum(-1, keepdims=True)
+
+
+def _softmax(logits: np.ndarray) -> np.ndarray:
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _stage_values(z, w: int, stage: str, target: str,
+                  use_edl: bool = True) -> np.ndarray:
+    """Per-prior target values for one window at one stage
+    (draw_distribution.py get_result :325-349,
+    analyze_actionness.py:266-295)."""
+    unct = z['unct'][w] if 'unct' in z.files else None
+    act_key = 'act' if stage == 'coarse' else 'prop_act'
+    act = (_sigmoid(z[act_key][w, :, 0]) if act_key in z.files else None)
+    if stage == 'refined' and unct is not None:
+        unct = z['prop_unct'][w]
+    if target == 'uncertainty':
+        return unct
+    if target == 'actionness':
+        return act
+    if target == 'uncertainty_actionness':
+        return unct * act
+    if target == 'half_au':
+        return 0.5 * (act + 1.0) * unct
+    if target == 'confidence':
+        logits = z['conf'][w] if stage == 'coarse' else z['prop_conf'][w]
+        probs = _dirichlet_prob(logits) if use_edl else _softmax(logits)
+        conf = probs * _sigmoid(z['center'][w])
+        if act is not None:
+            conf = conf * act[:, None]
+        return conf.max(-1)
+    raise ValueError(target)
+
+
+def stage_buckets(cfg, cache_dir: str, gt_json: str, cls_idx: str,
+                  target: str = 'uncertainty', piou: float = 0.5,
+                  max_videos: Optional[int] = None
+                  ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Prior-level known/unknown/background bucketing at the coarse and
+    refined stages over the raw-output cache.
+
+    Reference semantics (draw_distribution.py:221-259 get_matched_targets
+    + :323-389 split_results_by_stages): a prior is a known positive when
+    its center lies inside a known-class GT segment; at the refined stage
+    it additionally needs IoU(coarse-decoded segment, min-area enclosing
+    GT) >= piou (demoted priors count as background). Priors inside
+    unknown-class GT form the unknown bucket. Returns
+    {stage: {known|unknown|background: 1-D values array}}.
+    """
+    from opental_tpu.data.thumos import get_video_info
+
+    video_infos = get_video_info(
+        cfg.get_path('dataset.testing.video_info_path'))
+    clip_length = cfg.get_path('dataset.testing.clip_length', 256)
+    use_edl = cfg.get_path('model.use_edl', False)
+    gt = _gt_segments(gt_json, cls_idx)
+
+    out = {s: {b: [] for b in ('known', 'unknown', 'background')}
+           for s in ('coarse', 'refined')}
+    names = [n for n in list(video_infos)[:max_videos]
+             if os.path.exists(os.path.join(cache_dir, n + '.npz'))]
+    for name in names:
+        z = np.load(os.path.join(cache_dir, name + '.npz'))
+        fps = float(z['sample_fps'])
+        centers = z['priors'][:, 0] * clip_length          # (P,) frames
+        segs = gt.get(name, {'known': [], 'unknown': []})
+        k_f = np.array([(s * fps, e * fps)
+                        for s, e in segs['known']], np.float32
+                       ).reshape(-1, 2)
+        u_f = np.array([(s * fps, e * fps)
+                        for s, e in segs['unknown']], np.float32
+                       ).reshape(-1, 2)
+        for w, off in enumerate(z['offsets']):
+            abs_c = centers + off                          # (P,)
+
+            def inside(seg):
+                if not len(seg):
+                    return np.zeros(abs_c.shape, bool)
+                return ((abs_c[:, None] >= seg[None, :, 0])
+                        & (abs_c[:, None] <= seg[None, :, 1])).any(1)
+
+            known_m = inside(k_f)
+            unknown_m = inside(u_f) & ~known_m
+            bg_m = ~known_m & ~unknown_m
+
+            vals_c = _stage_values(z, w, 'coarse', target, use_edl)
+            vals_r = _stage_values(z, w, 'refined', target, use_edl)
+            for m, b in ((known_m, 'known'), (unknown_m, 'unknown'),
+                         (bg_m, 'background')):
+                out['coarse'][b].append(vals_c[m])
+
+            # refined: known demoted to background below the IoU gate
+            # (prop_conf[iou < overlap_thresh] = 0,
+            #  draw_distribution.py:251-253)
+            ref_known = known_m.copy()
+            if len(k_f) and known_m.any():
+                left = abs_c[:, None] - k_f[None, :, 0]
+                right = k_f[None, :, 1] - abs_c[:, None]
+                area = left + right
+                area = np.where((left < 0) | (right < 0), np.inf, area)
+                best = area.argmin(1)
+                gt_seg = k_f[best] - off                   # window coords
+                loc = z['loc'][w]
+                dec = np.stack([np.clip(centers - loc[:, 0], 0,
+                                        clip_length),
+                                np.clip(centers + loc[:, 1], 0,
+                                        clip_length)], 1)
+                inter = (np.minimum(dec[:, 1], gt_seg[:, 1])
+                         - np.maximum(dec[:, 0], gt_seg[:, 0]))
+                union = (dec[:, 1] - dec[:, 0]) \
+                    + (gt_seg[:, 1] - gt_seg[:, 0]) - inter
+                iou = np.where(union > 0, inter / np.maximum(union, 1e-6),
+                               0.0)
+                ref_known &= (iou >= piou) & (inter > 0)
+            out['refined']['known'].append(vals_r[ref_known])
+            out['refined']['unknown'].append(vals_r[unknown_m])
+            out['refined']['background'].append(
+                vals_r[~ref_known & ~unknown_m])
+
+    return {s: {b: (np.concatenate(v) if v else np.zeros(0))
+                for b, v in bs.items()} for s, bs in out.items()}
+
+
+def plot_dist(out_png: str, arrays: Sequence[np.ndarray],
+              colors: Sequence[str], labels: Sequence[str],
+              xlabel: str = '', bins: int = 50) -> None:
+    """Normalized overlaid histograms (draw_distribution.py
+    plot_unct_dist :392-408)."""
+    plt = _plt()
+    plt.figure(figsize=(5, 4))
+    for arr, color, label in zip(arrays, colors, labels):
+        arr = np.asarray(arr, float)
+        if len(arr):
+            plt.hist(arr, bins=bins, alpha=0.5, density=True, color=color,
+                     label=f'{label} (n={len(arr)})')
+    plt.xlabel(xlabel, fontsize=12)
+    plt.ylabel('density', fontsize=12)
+    plt.legend(fontsize=10)
+    plt.tight_layout()
+    plt.savefig(out_png)
+    plt.close()
+
+
+def distribution_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
+                        out_dir: str, target: str = 'uncertainty',
+                        pred_json: Optional[str] = None) -> List[str]:
+    """The draw_distribution.py figure set: per-stage prior-level
+    distributions (dist_coarse/dist_refined, Known vs Unknown&Bg) plus
+    final post-processed proposal distributions via greedy GT matching
+    (dist_final / dist_final_nobg) when a detection JSON is given
+    (:560-626)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    stages = stage_buckets(cfg, cache_dir, gt_json, cls_idx, target)
+    for stage in ('coarse', 'refined'):
+        b = stages[stage]
+        path = os.path.join(out_dir, f'dist_{stage}.png')
+        plot_dist(path,
+                  [b['known'],
+                   np.concatenate([b['unknown'], b['background']])],
+                  ['green', 'red'], ['Known', 'Unknown & Bg'],
+                  xlabel=target)
+        written.append(path)
+    if pred_json:
+        fin = bucket_distributions(pred_json, gt_json, cls_idx,
+                                   ood_scoring=target
+                                   if target != 'confidence'
+                                   else 'confidence', tiou=0.5)
+        k = np.asarray(fin['ood_score']['known'], float)
+        u = np.asarray(fin['ood_score']['unknown'], float)
+        bg = np.asarray(fin['ood_score']['bg'], float)
+        path = os.path.join(out_dir, 'dist_final.png')
+        plot_dist(path, [k, u, bg], ['green', 'red', 'blue'],
+                  ['Known', 'Unknown', 'Background'], xlabel=target)
+        written.append(path)
+        path = os.path.join(out_dir, 'dist_final_nobg.png')
+        plot_dist(path, [k, u], ['green', 'red'], ['Known', 'Unknown'],
+                  xlabel=target)
+        written.append(path)
+    return written
+
+
+def actionness_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
+                      out_dir: str) -> List[str]:
+    """The analyze_actionness.py figure set (:362-426): 3-bucket
+    actionness and uncertainty distributions at both stages, plus
+    foreground-vs-background actionness and known-vs-unknown uncertainty
+    views."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for target in ('actionness', 'uncertainty'):
+        stages = stage_buckets(cfg, cache_dir, gt_json, cls_idx, target)
+        for stage in ('coarse', 'refined'):
+            b = stages[stage]
+            path = os.path.join(out_dir, f'{target}_dist_{stage}.png')
+            plot_dist(path, [b['known'], b['unknown'], b['background']],
+                      ['green', 'red', 'cyan'],
+                      ['Known', 'Unknown', 'Background'], xlabel=target)
+            written.append(path)
+            if target == 'actionness':
+                fg = np.concatenate([b['known'], b['unknown']])
+                path = os.path.join(out_dir, f'dist_{stage}_act.png')
+                plot_dist(path, [fg, b['background']], ['red', 'blue'],
+                          ['Foreground', 'Background'], xlabel=target)
+            else:
+                path = os.path.join(out_dir, f'dist_{stage}_unct.png')
+                plot_dist(path, [b['known'], b['unknown']],
+                          ['red', 'blue'],
+                          ['Known Actions', 'Unknown Actions'],
+                          xlabel=target)
+            written.append(path)
+    return written
 
 
 def plot_gradnorm(metrics_jsonl: str, out_png: str,
@@ -156,6 +402,21 @@ def main(argv=None) -> None:
     s3.add_argument('--which', default='roc', choices=['roc', 'pr'])
     s3.add_argument('--tidx', type=int, default=0)
     s3.add_argument('--out', default='auc_comparison.png')
+    for name in ('distribution', 'actionness'):
+        s = sub.add_parser(name)
+        s.add_argument('config_file')
+        s.add_argument('--gt_json', required=True)
+        s.add_argument('--cls_idx', required=True)
+        s.add_argument('--out_dir', default='figures')
+        s.add_argument('--raw_cache', default=None,
+                       help='search_param raw-output cache dir (default '
+                            '<output_path>/raw_cache; built if missing)')
+        s.add_argument('--open_set', action='store_true')
+        s.add_argument('--split', type=int, default=0)
+        s.add_argument('--max_videos', type=int, default=None)
+        if name == 'distribution':
+            s.add_argument('--ood_scoring', default='uncertainty')
+            s.add_argument('--pred_json', default=None)
     args = p.parse_args(argv)
 
     if args.cmd == 'scores':
@@ -171,6 +432,23 @@ def main(argv=None) -> None:
         named = dict(e.split('=', 1) for e in args.named)
         compare_auc_curves(named, args.out, args.which, args.tidx)
         print('wrote', args.out)
+    elif args.cmd in ('distribution', 'actionness'):
+        from opental_tpu.config import load_config
+        from opental_tpu.tools.search_param import cache_raw_outputs
+        cfg = load_config(args.config_file, open_set=args.open_set,
+                          split=args.split)
+        cache_dir = args.raw_cache or os.path.join(
+            cfg.testing.get('output_path', './output'), 'raw_cache')
+        cache_raw_outputs(cfg, cache_dir, max_videos=args.max_videos)
+        if args.cmd == 'distribution':
+            written = distribution_report(
+                cfg, cache_dir, args.gt_json, args.cls_idx, args.out_dir,
+                target=args.ood_scoring, pred_json=args.pred_json)
+        else:
+            written = actionness_report(cfg, cache_dir, args.gt_json,
+                                        args.cls_idx, args.out_dir)
+        for w in written:
+            print('wrote', w)
 
 
 if __name__ == '__main__':

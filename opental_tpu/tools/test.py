@@ -63,14 +63,18 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         if flags['use_rpl'] else False
     fusion = te.get('fusion', False)
 
-    model = factory.build_model(cfg, frame_num=clip_length,
-                                dtype=jnp.bfloat16)
+    # compute dtype: bf16 by default for TPU throughput; set
+    # model.compute_dtype: float32 for bit-level parity runs
+    dtype = (jnp.float32
+             if cfg.get_path('model.compute_dtype') in ('float32', 'f32')
+             else jnp.bfloat16)
+    model = factory.build_model(cfg, frame_num=clip_length, dtype=dtype)
     shape = (1, clip_length, crop_size, crop_size, model.in_channels)
     variables = load_variables(model, te['checkpoint_path'], shape)
     flow_model = flow_vars = None
     if fusion:
         flow_model = factory.build_model(cfg, frame_num=clip_length,
-                                         dtype=jnp.bfloat16, in_channels=2)
+                                         dtype=dtype, in_channels=2)
         flow_ckpt = te.get('flow_checkpoint_path')
         flow_vars = load_variables(
             flow_model, flow_ckpt,

@@ -54,7 +54,8 @@ def prepare_window(npy_path: str, clip_length: int, crop_size: int
 
 def run_test_anet(cfg, max_videos: Optional[int] = None,
                   video_batch: int = 4, binary: bool = False,
-                  cls_score_file: Optional[str] = None) -> str:
+                  cls_score_file: Optional[str] = None,
+                  subset: str = 'validation') -> str:
     te = cfg.testing
     clip_length = cfg.get_path('dataset.testing.clip_length', 768)
     crop_size = cfg.get_path('dataset.testing.crop_size', 96)
@@ -94,7 +95,7 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
                               evidence=flags['evidence'])
 
     video_infos = get_video_info(
-        cfg.get_path('dataset.testing.video_info_path'), 'validation')
+        cfg.get_path('dataset.testing.video_info_path'), subset)
     idx_to_class = load_class_names(cfg.get_path(
         'dataset.class_info_path'))
     npy_dir = cfg.get_path('dataset.testing.video_mp4_path')
@@ -103,10 +104,16 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
              if os.path.exists(os.path.join(npy_dir, n + '.npy'))]
     names = names[:max_videos]
 
-    video_cls: Dict[str, List] = {}
+    # binary-actionness mode: a video-level classifier file supplies the
+    # labels; format {'results': {name: [200 scores]}, 'class': [200
+    # names]} (test_binary.py:195-211, result_tsn_val.json schema)
+    cls_scores: Dict[str, List[float]] = {}
+    cls_actions: List[str] = []
     if binary and cls_score_file:
         with open(cls_score_file) as f:
-            video_cls = json.load(f)
+            cls_data = json.load(f)
+        cls_scores = cls_data['results']
+        cls_actions = cls_data['class']
 
     cls_rng = range(0, num_classes) if os_head else range(1, num_classes)
     result_dict: Dict[str, List[dict]] = {}
@@ -132,9 +139,14 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
             seconds = segs[vi] / fps
             props = []
             for cl in cls_rng:
-                mask = scores[vi, :, cl] > 0.001  # (anet/test.py:134)
-                if os_head:
-                    mask &= act[vi] > 0.5
+                if binary:
+                    # binary filtering keeps everything above 1e-9 and
+                    # applies no actionness gate (test_binary.py:125)
+                    mask = scores[vi, :, cl] > 1e-9
+                else:
+                    mask = scores[vi, :, cl] > 0.001  # (anet/test.py:134)
+                    if os_head:
+                        mask &= act[vi] > 0.5
                 if not mask.any():
                     continue
                 cols = [seconds[mask], scores[vi, mask, cl][:, None]]
@@ -162,17 +174,17 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
                         'actionness': float(row[-1]) if os_head else 0.0,
                     })
             key = name[2:] if name.startswith('v_') else name
-            if binary and key in video_cls:
-                # binary-actionness: re-label proposals with the top
-                # video-level classes (test_binary.py)
-                relabeled = []
-                for cls_name, cls_score in video_cls[key][:2]:
-                    for p in props:
-                        q = dict(p)
-                        q['label'] = cls_name
-                        q['score'] = p['score'] * cls_score
-                        relabeled.append(q)
-                props = relabeled
+            if binary and key in cls_scores:
+                # binary-actionness: the video carries ONE class — the
+                # classifier argmax — and proposal scores fuse with the
+                # video-level confidence (test_binary.py:210-211,
+                # get_video_prediction:163,176)
+                v_scores = cls_scores[key]
+                pred_class = cls_actions[int(np.argmax(v_scores))]
+                pred_conf = float(np.max(v_scores))
+                props = [dict(p, label=pred_class,
+                              score=p['score'] * pred_conf)
+                         for p in props]
             result_dict[key] = props
         print(f'[{min(i + video_batch, len(names))}/{len(names)}] videos')
 
@@ -188,8 +200,25 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
 
 
 def main(argv=None) -> None:
-    cfg = config_from_args(argv)
-    print('wrote', run_test_anet(cfg))
+    # tool-local flags on top of the shared config surface
+    # (reference analogs: test_binary.py's cls file + ngpu sharding)
+    import argparse
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument('--binary', action='store_true',
+                       help='binary-actionness mode (anet/test_binary.py)')
+    extra.add_argument('--cls_score_file', type=str, default=None,
+                       help='video-level classifier json '
+                            '(result_tsn_val.json schema)')
+    extra.add_argument('--video_batch', type=int, default=4,
+                       help='videos per jitted forward (window-axis '
+                            'batching)')
+    extra.add_argument('--max_videos', type=int, default=None)
+    ns, rest = extra.parse_known_args(argv)
+    cfg = config_from_args(rest)
+    print('wrote', run_test_anet(cfg, max_videos=ns.max_videos,
+                                 video_batch=ns.video_batch,
+                                 binary=ns.binary,
+                                 cls_score_file=ns.cls_score_file))
 
 
 if __name__ == '__main__':

@@ -70,6 +70,13 @@ def init_state(cfg: Config, model, tx, rng_key,
     the pretrained I3D backbone (thumos14/BDNet.py:448-452)."""
     variables = model.init(rng_key, jnp.zeros(sample_clip_shape,
                                               jnp.float32))
+    if model.arch == 'anet':
+        # normal(0, 0.01) tower/head re-init on top of glorot
+        # (anet/BDNet.py:448-451)
+        from opental_tpu.models.anet_pyramid import reinit_anet_heads
+        variables = dict(variables)
+        variables['params'] = reinit_anet_heads(variables['params'],
+                                                rng_key)
     backbone_path = cfg.get_path('model.backbone_model')
     if backbone_path and os.path.exists(backbone_path):
         loaded = convert_i3d_checkpoint(backbone_path)
@@ -89,8 +96,15 @@ def init_state(cfg: Config, model, tx, rng_key,
 
 
 def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
-          use_mesh: bool = False) -> TrainState:
-    """Full training run from a reference-schema Config."""
+          use_mesh: bool = False, log_every: int = 20,
+          prefetch_depth: int = 2) -> TrainState:
+    """Full training run from a reference-schema Config.
+
+    Input batches are assembled and device-placed `prefetch_depth` steps
+    ahead on a background thread (the reference's DataLoader-worker
+    analog, train.py:345), and metrics are fetched from device only
+    every `log_every` steps so the step loop never blocks on host sync.
+    """
     tr = cfg.training
     clip_length = cfg.get_path('dataset.training.clip_length', 256)
     crop_size = cfg.get_path('dataset.training.crop_size', 96)
@@ -158,25 +172,40 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
     if mesh is not None:
         state = meshlib.replicate(mesh, state)
 
+    from opental_tpu.data.prefetch import prefetch
+
+    def place(batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return (meshlib.shard_batch(mesh, batch) if mesh is not None
+                else batch)
+
     max_epoch = tr.get('max_epoch', 25)
     global_step = int(state.step)
     for epoch in range(start_epoch, max_epoch + 1):
         t0 = time.time()
         epoch_metrics: Dict[str, float] = {}
         n_steps = 0
-        for batch in dataset.batches(batch_size):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                batch = meshlib.shard_batch(mesh, batch)
+        pending = []  # (step, device-metrics) fetched every log_every
+
+        def flush(pending):
+            for s, fetched in jax.device_get(pending):
+                logger.log(s, fetched)
+                for k, v in fetched.items():
+                    epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+            pending.clear()
+
+        for batch in prefetch(dataset.batches(batch_size), place,
+                              depth=prefetch_depth):
             rng_key, sub = jax.random.split(rng_key)
             state, metrics = step_fn(state, batch, jnp.asarray(epoch), sub)
             global_step += 1
             n_steps += 1
-            logger.log(global_step, metrics)
-            for k, v in metrics.items():
-                epoch_metrics[k] = epoch_metrics.get(k, 0.0) + float(v)
+            pending.append((global_step, metrics))
+            if len(pending) >= max(1, log_every):
+                flush(pending)
             if max_steps_per_epoch and n_steps >= max_steps_per_epoch:
                 break
+        flush(pending)
         means = {k: v / max(n_steps, 1) for k, v in epoch_metrics.items()}
         print(f'Epoch-{epoch} Train Loss: Total - {means.get("cost", 0):.5f}'
               f', loc - {means.get("loss_l", 0):.5f}'

@@ -10,9 +10,6 @@ Slow (~2 x 256-frame CPU forwards); the single strongest end-to-end
 correctness check in the suite.
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 
@@ -24,45 +21,8 @@ import jax.numpy as jnp  # noqa: E402
 from opental_tpu.models.bdnet import BDNet  # noqa: E402
 from opental_tpu.utils import torch_convert as tc  # noqa: E402
 
-REF = '/root/reference'
-
-
-def _install_reference_stubs():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    cfg = {
-        'dataset': {'num_classes': 16,
-                    'training': {'clip_length': 256}},
-        'model': {'freeze_bn': True, 'freeze_bn_affine': True,
-                  'evidence': 'exp', 'dropout': 0.0, 'os_head': True,
-                  'transformer': False},
-    }
-    cfg_mod = types.ModuleType('AFSD.common.config')
-    cfg_mod.config = cfg
-    sys.modules['AFSD.common.config'] = cfg_mod
-
-    bmp_mod = types.ModuleType('AFSD.prop_pooling.boundary_pooling_op')
-
-    class BoundaryMaxPooling(torch.nn.Module):
-        def forward(self, x, segments):
-            # channels-first transliteration of the CUDA forward
-            b, c, t = x.shape
-            k = segments.shape[1]
-            out = x.new_zeros(b, c, k)
-            seg = segments.long()
-            for n in range(b):
-                for ki in range(k):
-                    for st in range(2):
-                        l = int(seg[n, ki, st * 2].clamp(0, t - 1))
-                        r = int(seg[n, ki, st * 2 + 1].clamp(0, t - 1))
-                        r = max(r, l)
-                        half = c // 2
-                        sl = slice(st * half, (st + 1) * half)
-                        out[n, sl, ki] = x[n, sl, l:r + 1].max(dim=-1).values
-            return out
-
-    bmp_mod.BoundaryMaxPooling = BoundaryMaxPooling
-    sys.modules['AFSD.prop_pooling.boundary_pooling_op'] = bmp_mod
+from reference_stubs import install_reference_stubs as \
+    _install_reference_stubs  # noqa: E402
 
 
 @pytest.mark.slow

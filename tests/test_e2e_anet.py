@@ -1,0 +1,81 @@
+"""ANet end-to-end workflow on a synthetic dataset: train (with the
+normal(0,0.01) head re-init), checkpoint, video-batched inference via
+the ANet driver (incl. the binary-actionness variant), threshold
+calibration on the training subset, and open-set eval at tIoU 0.1:0.5
+(the ANet protocol, anet/eval_open.py:16). Slow (CPU jit of the full
+768-style train step at toy shapes)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_anet_train_test_threshold_eval(tmp_path):
+    from opental_tpu.config import load_config
+    from opental_tpu.eval.detection import DetectionEvaluator
+    from opental_tpu.openset.threshold import calibrate_anet
+    from opental_tpu.tools.test_anet import run_test_anet
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.loop import train
+    from opental_tpu.utils.synthetic import make_synthetic_anet_dataset
+
+    root = str(tmp_path / 'synth_anet')
+    cfg_path = make_synthetic_anet_dataset(root, clip_length=256,
+                                           crop_size=32)
+    cfg = load_config(cfg_path)
+
+    state = train(cfg, max_steps_per_epoch=1)
+    assert int(state.step) >= 1
+    ckpt.save(cfg.training['checkpoint_path'], 1, state,
+              jax.random.PRNGKey(0))
+
+    out_path = run_test_anet(cfg, video_batch=2)
+    payload = json.load(open(out_path))
+    assert payload['version'] == 'ActivityNet-v1.3'
+    assert len(payload['results']) == 2  # both validation videos
+    # output keys strip the v_ prefix (anet/test.py:183)
+    assert all(not k.startswith('v_') for k in payload['results'])
+
+    ev = DetectionEvaluator(
+        os.path.join(root, 'annotations', 'gt_open.json'), out_path,
+        os.path.join(root, 'annotations', 'action_known.txt'),
+        tiou_thresholds=np.arange(0.1, 0.6, 0.1),
+        ood_scoring='uncertainty', subset=['validation'], openset=True,
+        dataset='anet')
+    ev.pre_evaluate()
+    auc_roc, auc_pr, far = ev.evaluate('AUC')
+    assert np.all(np.isfinite(auc_roc))
+
+    # threshold calibration over the TRAINING subset
+    # (anet/threshold.py:31-63)
+    thr_cfg = cfg.clone()
+    thr_cfg['testing']['output_json'] = 'thresholding.json'
+    threshold = calibrate_anet(thr_cfg)
+    assert np.isfinite(threshold)
+    thr_payload = json.load(open(os.path.join(
+        root, 'output', 'thresholding.json')))
+    assert thr_payload['external_data']['threshold'] == threshold
+
+    # binary-actionness variant: external video-level classifier file
+    # (test_binary.py:195-211 result_tsn schema)
+    val_keys = list(payload['results'])
+    cls_file = str(tmp_path / 'cls_scores.json')
+    classes = [f'Act{i:02d}' for i in range(1, 5)]
+    rng = np.random.RandomState(0)
+    with open(cls_file, 'w') as f:
+        json.dump({'results': {k: rng.rand(4).tolist() for k in val_keys},
+                   'class': classes}, f)
+    bin_cfg = cfg.clone()
+    bin_cfg['testing']['output_json'] = 'detections_binary.json'
+    bin_path = run_test_anet(bin_cfg, video_batch=2, binary=True,
+                             cls_score_file=cls_file)
+    bin_payload = json.load(open(bin_path))
+    with open(cls_file) as f:
+        cls_data = json.load(f)
+    for vid, props in bin_payload['results'].items():
+        want = classes[int(np.argmax(cls_data['results'][vid]))]
+        assert all(p['label'] == want for p in props), vid

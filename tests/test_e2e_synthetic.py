@@ -48,6 +48,37 @@ def test_train_test_eval_workflow(tmp_path):
     osdr = ev.evaluate('OSDR')
     assert np.all(np.isfinite(auc_roc)) and np.all(np.isfinite(osdr))
 
+    # search_param sweep from the raw-output cache (any post-network
+    # stage re-runs per candidate, search_param.py:112-150)
+    from opental_tpu.tools.search_param import (cache_raw_outputs,
+                                                evaluate_candidate)
+    cache_dir = os.path.join(root, 'output', 'raw_cache')
+    names = cache_raw_outputs(cfg, cache_dir)
+    assert all(os.path.exists(os.path.join(cache_dir, n + '.npz'))
+               for n in names)
+    gt = os.path.join(root, 'annotations', 'gt_open.json')
+    for sigma in (0.5, 0.9):
+        score = evaluate_candidate(cfg, cache_dir, names, gt,
+                                   os.path.join(root, 'output'), sigma)
+        assert np.isfinite(score)
+
+    # analysis depth: prior-level stage distributions + final-proposal
+    # distributions (draw_distribution.py / analyze_actionness.py sets)
+    from opental_tpu.tools.analysis import (actionness_report,
+                                            distribution_report,
+                                            stage_buckets)
+    cls_idx = os.path.join(root, 'annotations', 'Class_Index_Known.txt')
+    stages = stage_buckets(cfg, cache_dir, gt, cls_idx, 'uncertainty')
+    n_priors = sum(len(stages['coarse'][b]) for b in stages['coarse'])
+    assert n_priors > 0
+    assert len(stages['refined']['known']) <= len(stages['coarse']['known'])
+    fig_dir = os.path.join(root, 'output', 'figures')
+    written = distribution_report(cfg, cache_dir, gt, cls_idx, fig_dir,
+                                  target='uncertainty',
+                                  pred_json=out_path)
+    written += actionness_report(cfg, cache_dir, gt, cls_idx, fig_dir)
+    assert all(os.path.exists(w) for w in written) and len(written) >= 10
+
 
 @pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):

@@ -1,0 +1,87 @@
+"""Sharded training == single-device training.
+
+The training analog of test_mesh_inference: the FULL OpenTAL-final train
+step (EDL-MIB + iou_calib + boundary BCE + SSL triplet + the PU
+actionness loss, whose rank term takes a global max over the sharded
+batch axis — losses/cls.py — the most shard-sensitive reduction in the
+loss) must produce the same losses, gradients, and updated params on an
+8-device data mesh as on one device.
+
+Reference semantics being protected: AFSD/thumos14/train.py:164-252.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opental_tpu.losses.edl import EDLConfig, EDLState
+from opental_tpu.losses.multisegment import LossConfig
+from opental_tpu.models.bdnet import BDNet
+from opental_tpu.parallel import mesh as meshlib
+from opental_tpu.train.step import (LossWeights, TrainState,
+                                    make_optimizer, make_train_step)
+from opental_tpu.utils.synthetic import tiny_train_batch
+
+FRAME, CROP = 128, 32
+
+
+def _setup():
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=FRAME)
+    edl = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    iou_aware=True, with_ibm=True, ibm_start=10)
+    # act_weight > 0: the PU rank loss (global max over batch) must be
+    # part of what the mesh check exercises
+    cfg = LossConfig(num_classes=15, clip_length=FRAME, piou=0.5,
+                     cls_type='edl', edl=edl, os_head=True, act_weight=0.1)
+    tx = make_optimizer(1e-5, 1e-3)
+    batch = {k: jnp.asarray(v) for k, v in
+             tiny_train_batch(8, FRAME, CROP).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch['clips'][:1])
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(edl))
+    step = jax.jit(make_train_step(model, cfg, LossWeights(), tx))
+    return step, state, batch
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    assert jax.device_count() >= 8, 'conftest must provide 8 CPU devices'
+    step, state, batch = _setup()
+    epoch = jnp.asarray(11)  # past ibm_start: MIB EMA state active
+
+    single_state, single_metrics = step(state, batch, epoch)
+
+    mesh = meshlib.make_mesh(8)
+    sh_state = meshlib.replicate(mesh, state)
+    sh_batch = meshlib.shard_batch(mesh, batch)
+    shard_state, shard_metrics = step(sh_state, sh_batch, epoch)
+
+    for k in single_metrics:
+        np.testing.assert_allclose(
+            np.asarray(shard_metrics[k]), np.asarray(single_metrics[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f'metric {k}')
+
+    # updated parameters leaf-by-leaf (gradient psum correct). atol is a
+    # few lr units (lr=1e-5): Adam's first-step update is ~±lr for
+    # near-zero-gradient coordinates (m/sqrt(v) ≈ sign(g)), so psum
+    # reassociation noise on tiny gradients legitimately moves a handful
+    # of weights by O(lr); anything beyond that is a real sharding bug.
+    flat_a = jax.tree_util.tree_leaves_with_path(single_state.params)
+    flat_b = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_leaves_with_path(shard_state.params)}
+    for path, a in flat_a:
+        b = flat_b[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+    # MIB EMA state (batch-global histogram) must evolve identically
+    if single_state.edl_state is not None:
+        np.testing.assert_allclose(
+            np.asarray(shard_state.edl_state.weight_accum),
+            np.asarray(single_state.edl_state.weight_accum),
+            rtol=1e-5, atol=1e-8)
