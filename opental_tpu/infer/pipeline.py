@@ -63,7 +63,20 @@ def stack_windows(data: np.ndarray, offsets: Sequence[int],
 
 
 class InferencePipeline:
-    """Jitted forward + decode over window batches for one model."""
+    """Jitted forward + decode over window batches for one model.
+
+    Post-processing modes:
+      * default — host numpy filtering + per-class soft-NMS (exact
+        reference semantics, used by the parity tests);
+      * device_nms — the candidate block of each class pads to a bucket
+        and runs the bounded lax.while_loop kernel, still one dispatch
+        per class;
+      * device_post — ONE jitted call per video: per-class top-k
+        candidate preselection + soft-NMS vmapped over all classes on
+        device; the host only formats kept rows. This removes the
+        serial host NMS (the reference's known hot spot,
+        segment_utils.py:129) from the e2e path entirely.
+    """
 
     def __init__(self, model, variables, clip_length: int = 256,
                  stride: int = 128, crop_size: int = 96,
@@ -72,7 +85,8 @@ class InferencePipeline:
                  os_head: bool = False, use_gcpl: bool = False,
                  evidence: str = 'exp',
                  flow_model=None, flow_variables=None, mesh=None,
-                 device_nms: bool = False):
+                 device_nms: bool = False, device_post: bool = False,
+                 n_candidates: int = 512):
         self.model = model
         self.variables = variables
         self.flow_model = flow_model
@@ -90,6 +104,9 @@ class InferencePipeline:
         self.num_classes = model.head_classes
         self.mesh = mesh
         self.device_nms = device_nms
+        self.device_post = device_post
+        self.n_candidates = n_candidates
+        self._device_post_fn = None
         score_func = 'dirichlet' if use_edl else 'softmax'
 
         def forward_decode(variables, clips, flow_vars=None,
@@ -145,6 +162,13 @@ class InferencePipeline:
                       if flow_clips is not None else None)
             dec = self._forward_decode(self.variables, chunk,
                                        self.flow_variables, fchunk)
+            if self.device_post:
+                # stay on device; one fused post-process call below
+                segs.append(dec.segments)
+                scores.append(dec.scores)
+                uncts.append(dec.uncertainty)
+                acts.append(dec.actionness)
+                continue
             segs.append(np.asarray(dec.segments))
             scores.append(np.asarray(dec.scores))
             uncts.append(None if dec.uncertainty is None
@@ -152,6 +176,19 @@ class InferencePipeline:
             acts.append(None if dec.actionness is None
                         else np.asarray(dec.actionness))
         n = len(offsets)
+        if self.device_post:
+            from opental_tpu.infer.decode import DecodedWindows
+            cat = (segs[0] if len(segs) == 1
+                   else jnp.concatenate(segs))
+            dec_all = DecodedWindows(
+                cat,
+                scores[0] if len(scores) == 1 else jnp.concatenate(scores),
+                None if uncts[0] is None else (
+                    uncts[0] if len(uncts) == 1 else jnp.concatenate(uncts)),
+                None if acts[0] is None else (
+                    acts[0] if len(acts) == 1 else jnp.concatenate(acts)))
+            return self._post_process_on_device(dec_all, offsets,
+                                                sample_fps, n)
         segments = np.concatenate(segs)[:n]
         conf = np.concatenate(scores)[:n]
         unct = (np.concatenate([u for u in uncts])[:n]
@@ -163,6 +200,89 @@ class InferencePipeline:
         off = np.asarray(offsets, np.float32)[:, None, None]
         seconds = (segments + off) / sample_fps
         return self._post_process(seconds, conf, unct, act)
+
+    def _build_device_post(self):
+        """One jitted graph: seconds shift + per-class candidate top-k +
+        vmapped soft-NMS for every class at once."""
+        import jax
+        import jax.numpy as jnp
+
+        from opental_tpu.ops.nms import soft_nms_device
+
+        k = self.num_classes
+        cls_cols = (list(range(k)) if self.os_head
+                    else list(range(1, k)))
+        n_cand = self.n_candidates
+        use_edl, os_head = self.use_edl, self.os_head
+        conf_thresh, sigma = self.conf_thresh, self.nms_sigma
+        top_k = self.top_k
+
+        def post(segments, scores, unct, act, offsets, sample_fps,
+                 n_valid):
+            # segments (W,P,2) clip-frame units; scores (W,P,K); the
+            # window axis stays bucket-padded — n_valid is traced so a
+            # video's true window count never forces a recompile
+            w, p = segments.shape[:2]
+            seconds = ((segments + offsets[:, None, None]) / sample_fps
+                       ).reshape(-1, 2)
+            flat = scores.reshape(-1, scores.shape[-1])
+            gate = jnp.repeat(jnp.arange(w) < n_valid, p)
+            extras = []
+            if use_edl:
+                extras.append(unct.reshape(-1))
+            if os_head:
+                a = act.reshape(-1)
+                gate = gate & (a > 0.5)
+                extras.append(a)
+
+            k_eff = min(n_cand, flat.shape[0])
+
+            def per_class(cl_scores):
+                m = (cl_scores > conf_thresh) & gate
+                sc = jnp.where(m, cl_scores, 0.0)
+                top_sc, idx = jax.lax.top_k(sc, k_eff)
+                cols = [seconds[idx], top_sc[:, None]]
+                cols += [e[idx][:, None] for e in extras]
+                block = jnp.concatenate(cols, axis=-1)
+                return soft_nms_device(block, sigma=sigma, top_k=top_k,
+                                       valid=top_sc > 0)
+
+            stacked = jnp.stack([flat[:, c] for c in cls_cols], 0)
+            return jax.vmap(per_class)(stacked)
+
+        return jax.jit(post), cls_cols
+
+    def _post_process_on_device(self, dec, offsets: Sequence[int],
+                                sample_fps: float, n: int
+                                ) -> List[Dict[str, Any]]:
+        import jax.numpy as jnp
+        if self._device_post_fn is None:
+            self._device_post_fn = self._build_device_post()
+        post, cls_cols = self._device_post_fn
+        w_pad = dec.segments.shape[0]
+        off = np.zeros((w_pad,), np.float32)
+        off[:n] = np.asarray(offsets, np.float32)
+        blocks, _ = post(dec.segments, dec.scores,
+                         dec.uncertainty if self.use_edl else None,
+                         dec.actionness if self.os_head else None,
+                         jnp.asarray(off), jnp.float32(sample_fps),
+                         jnp.int32(n))
+        blocks = np.asarray(blocks)           # (C, n_cand, D+1)
+        proposals: List[Dict[str, Any]] = []
+        for ci, cl in enumerate(cls_cols):
+            kept = blocks[ci]
+            kept = kept[(kept[:, -1] > 0) & (kept[:, 2] > 0)]
+            cl_idx = cl + 1 if self.os_head else cl
+            for row in kept:
+                proposals.append({
+                    'cls': int(cl_idx),
+                    'score': float(row[2]),
+                    'segment': [float(row[0]), float(row[1])],
+                    'uncertainty': float(row[3]) if self.use_edl else 0.0,
+                    'actionness': (float(row[-2]) if self.os_head
+                                   else 0.0),
+                })
+        return proposals
 
     def _soft_nms(self, block: np.ndarray) -> np.ndarray:
         """Greedy gaussian-decay suppression of one class's candidates.

@@ -242,20 +242,15 @@ class SpaceToDepthConv3d(nn.Module):
         kprime = kprime.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(
             a_t, a_h, a_w, 8 * c, self.features)
 
-        # fold the 4 temporal taps into channels -> ONE 2D conv with a
-        # 96-deep reduction (75% MXU lane utilization; measured 4x over
-        # the per-tap conv2d sum and ~30x over XLA's conv3d lowering)
-        t_out = y.shape[1] - a_t + 1
-        z = jnp.concatenate([y[:, at:at + t_out] for at in range(a_t)],
-                            axis=-1)
-        z = z.reshape((b * t_out,) + z.shape[2:])
-        kf = jnp.concatenate([kprime[at] for at in range(a_t)], axis=2)
-        if self.dtype is not None:
-            kf = kf.astype(self.dtype)
-        out = jax.lax.conv_general_dilated(
-            z, kf.astype(z.dtype), (1, 1), 'VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return out.reshape((b, t_out) + out.shape[1:])
+        # one stride-1 VALID conv3d on the packed 24-channel tensor. At
+        # 24 input channels XLA's conv3d lowering is efficient (the
+        # round-1 30x pathology was the 3-channel raw stem); measured
+        # 3.2x faster than materializing the 4 temporal taps into a
+        # 96-channel concat + 2D conv (scripts/bench_stem.py: 16.8ms vs
+        # 53.7ms at W=32 bf16 — the concat wrote 4x the packed tensor).
+        return jax.lax.conv_general_dilated(
+            y, kprime.astype(y.dtype), (1, 1, 1), 'VALID',
+            dimension_numbers=('NTHWC', 'THWIO', 'NTHWC'))
 
 
 class Unit1D(nn.Module):

@@ -87,7 +87,10 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         top_k=te.get('top_k', 5000), nms_sigma=te.get('nms_sigma', 0.5),
         use_edl=flags['use_edl'], os_head=flags['os_head'],
         use_gcpl=use_gcpl, evidence=flags['evidence'],
-        flow_model=flow_model, flow_variables=flow_vars)
+        flow_model=flow_model, flow_variables=flow_vars,
+        # testing.device_nms: true -> fused on-device post-processing
+        # (top-k preselect + vmapped soft-NMS, one call per video)
+        device_post=te.get('device_nms', False))
 
     video_infos = get_video_info(
         cfg.get_path('dataset.testing.video_info_path'))
