@@ -45,6 +45,29 @@ def _jitted_device_nms():
     return jax.jit(soft_nms_device, static_argnames=('sigma', 'top_k'))
 
 
+def device_windows(video_u8, offsets, frames_valid, clip_length: int):
+    """Device-side window gather + normalization.
+
+    video_u8: (Tp, H, W, C) uint8 (temporally padded); offsets: (Wc,)
+    int32; frames >= frames_valid zero out after normalization — bit
+    parity with the host stack_windows (pad value 0.0 in [-1, 1] space,
+    test.py:67-76). Transferring the raw uint8 video once and slicing
+    on device moves 8x fewer bytes than stacked float32 windows (4x
+    dtype, 2x window overlap) and takes the normalize off the host.
+    """
+    import jax
+
+    def one(o):
+        win = jax.lax.dynamic_slice(
+            video_u8, (o,) + (0,) * (video_u8.ndim - 1),
+            (clip_length,) + video_u8.shape[1:])
+        idx = o + jnp.arange(clip_length)
+        x = (win.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+        return jnp.where((idx < frames_valid)[:, None, None, None], x, 0.0)
+
+    return jax.vmap(one)(offsets)
+
+
 def stack_windows(data: np.ndarray, offsets: Sequence[int],
                   clip_length: int, pad_value: float = 0.0,
                   bucket: int = 8) -> np.ndarray:
@@ -86,7 +109,7 @@ class InferencePipeline:
                  evidence: str = 'exp',
                  flow_model=None, flow_variables=None, mesh=None,
                  device_nms: bool = False, device_post: bool = False,
-                 n_candidates: int = 512):
+                 n_candidates: int = 512, device_ingest: bool = False):
         self.model = model
         self.variables = variables
         self.flow_model = flow_model
@@ -106,6 +129,7 @@ class InferencePipeline:
         self.device_nms = device_nms
         self.device_post = device_post
         self.n_candidates = n_candidates
+        self.device_ingest = device_ingest
         self._device_post_fn = None
         score_func = 'dirichlet' if use_edl else 'softmax'
 
@@ -138,6 +162,16 @@ class InferencePipeline:
         else:
             self._forward_decode = jax.jit(forward_decode)
 
+        self._ingest_forward = None
+        if device_ingest:
+            assert flow_model is None and mesh is None, \
+                'device_ingest supports single-stream single-device runs'
+            self._ingest_forward = jax.jit(
+                lambda variables, video_u8, offs, frames_valid:
+                forward_decode(variables,
+                               device_windows(video_u8, offs,
+                                              frames_valid, clip_length)))
+
     def run_video(self, data: np.ndarray, sample_count: int,
                   sample_fps: float, flow_data: Optional[np.ndarray] = None,
                   max_batch: int = 32) -> List[Dict[str, Any]]:
@@ -148,20 +182,45 @@ class InferencePipeline:
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
         granule = self.mesh.size if self.mesh is not None else 8
-        clips = stack_windows(data, offsets, self.clip_length,
-                              bucket=granule)
-        flow_clips = None
-        if flow_data is not None:
-            flow_data = transforms.center_crop(flow_data, self.crop_size)
-            flow_clips = stack_windows(flow_data, offsets, self.clip_length)
+
+        if self.device_ingest:
+            # ship the raw uint8 video once; gather + normalize windows
+            # on device (8x fewer host->device bytes than f32 windows)
+            t = data.shape[0]
+            tpad = max(-(-t // 1024) * 1024, self.clip_length)
+            video = np.zeros((tpad,) + data.shape[1:], np.uint8)
+            video[:t] = data
+            video_dev = jnp.asarray(video)
+            n_pad = _bucket(len(offsets), granule)
+            offs = np.zeros((n_pad,), np.int32)
+            offs[:len(offsets)] = offsets
+            frames_valid = jnp.int32(min(t, sample_count))
+            chunk_iter = [
+                (None, jnp.asarray(offs[i:i + max_batch]))
+                for i in range(0, n_pad, max_batch)]
+        else:
+            clips = stack_windows(data, offsets, self.clip_length,
+                                  bucket=granule)
+            flow_clips = None
+            if flow_data is not None:
+                flow_data = transforms.center_crop(flow_data,
+                                                   self.crop_size)
+                flow_clips = stack_windows(flow_data, offsets,
+                                           self.clip_length)
+            chunk_iter = [(i, None)
+                          for i in range(0, clips.shape[0], max_batch)]
 
         segs, scores, uncts, acts = [], [], [], []
-        for i in range(0, clips.shape[0], max_batch):
-            chunk = jnp.asarray(clips[i:i + max_batch])
-            fchunk = (jnp.asarray(flow_clips[i:i + max_batch])
-                      if flow_clips is not None else None)
-            dec = self._forward_decode(self.variables, chunk,
-                                       self.flow_variables, fchunk)
+        for i, off_chunk in chunk_iter:
+            if self.device_ingest:
+                dec = self._ingest_forward(self.variables, video_dev,
+                                           off_chunk, frames_valid)
+            else:
+                chunk = jnp.asarray(clips[i:i + max_batch])
+                fchunk = (jnp.asarray(flow_clips[i:i + max_batch])
+                          if flow_clips is not None else None)
+                dec = self._forward_decode(self.variables, chunk,
+                                           self.flow_variables, fchunk)
             if self.device_post:
                 # stay on device; one fused post-process call below
                 segs.append(dec.segments)

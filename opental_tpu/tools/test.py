@@ -89,8 +89,11 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         use_gcpl=use_gcpl, evidence=flags['evidence'],
         flow_model=flow_model, flow_variables=flow_vars,
         # testing.device_nms: true -> fused on-device post-processing
-        # (top-k preselect + vmapped soft-NMS, one call per video)
-        device_post=te.get('device_nms', False))
+        # (top-k preselect + vmapped soft-NMS, one call per video);
+        # testing.device_ingest: true -> ship raw uint8 video, window +
+        # normalize on device (8x fewer host->device bytes)
+        device_post=te.get('device_nms', False),
+        device_ingest=te.get('device_ingest', False))
 
     video_infos = get_video_info(
         cfg.get_path('dataset.testing.video_info_path'))

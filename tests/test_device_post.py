@@ -82,3 +82,33 @@ def test_device_post_masks_padded_windows():
                          jnp.asarray(unct), jnp.asarray(act))
     dev_props = dev._post_process_on_device(dec, offsets, fps, n=5)
     assert len(dev_props) == len(host_props)
+
+
+def test_device_windows_matches_stack_windows():
+    """Device-side window gather/normalize == host stack_windows,
+    including the zero-padded tail (test.py:67-76 parity)."""
+    from opental_tpu.infer.pipeline import device_windows, stack_windows
+
+    rng = np.random.RandomState(0)
+    t, clip = 300, 128
+    video = rng.randint(0, 255, (t, 16, 16, 3), np.uint8)
+    offsets = [0, 64, 128, 172]
+    host = stack_windows(video, offsets, clip, bucket=4)
+
+    tpad = 512
+    padded = np.zeros((tpad, 16, 16, 3), np.uint8)
+    padded[:t] = video
+    dev = device_windows(jnp.asarray(padded),
+                         jnp.asarray(offsets, jnp.int32),
+                         jnp.int32(t), clip)
+    np.testing.assert_array_equal(np.asarray(dev), host[:4])
+
+    # short-video case: one zero-padded window
+    short = video[:100]
+    host_s = stack_windows(short, [0], clip, bucket=1)
+    pad_s = np.zeros((clip, 16, 16, 3), np.uint8)
+    pad_s[:100] = short
+    dev_s = device_windows(jnp.asarray(pad_s),
+                           jnp.asarray([0], jnp.int32),
+                           jnp.int32(100), clip)
+    np.testing.assert_array_equal(np.asarray(dev_s), host_s)
