@@ -20,7 +20,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from opental_tpu.config import Config, build_arg_parser, config_from_args
+from opental_tpu.config import (Config, build_arg_parser,
+                                config_from_namespace)
 from opental_tpu.data.anet import get_video_info as get_anet_video_info
 from opental_tpu.data.thumos import get_class_index_map, get_video_info
 from opental_tpu.infer.pipeline import proposals_to_json
@@ -127,10 +128,8 @@ def main(argv=None) -> None:
     parser.add_argument('--overlapping_class_file', type=str, default=
                         'datasets/activitynet/'
                         'overlapping_classes_in_thumos.txt')
-    args, rest = parser.parse_known_args(argv)
-    cfg = config_from_args(
-        [a for a in (argv or []) if not a.startswith('--anet')
-         and not a.startswith('--overlapping')])
+    args = parser.parse_args(argv)
+    cfg = config_from_namespace(args)
     print('wrote', run_cross_data(cfg, args.anet_video_info,
                                   args.anet_npy_dir,
                                   args.overlapping_class_file))

@@ -1,0 +1,88 @@
+"""Cross-dataset e2e on synthetic data: a THUMOS-trained (here:
+initialized) model runs over THUMOS test videos AND ANet validation
+videos (127.5-padded to 768 frames, windowed by THUMOS 256/128 — here
+the toy 128/64), overlapping-class videos are excluded, and the two
+result sets merge into thumos14_anet_merged.json
+(AFSD/thumos14/test_cross_data.py:80-89, :333-351, :412-446). Also
+checks the idempotence guards (existing per-pass JSONs are reused).
+Slow (full-pipeline CPU jit)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_cross_data_merged_json(tmp_path):
+    from opental_tpu.config import load_config
+    from opental_tpu.losses.edl import EDLState
+    from opental_tpu.tools.test_cross_data import run_cross_data
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.step import TrainState, make_optimizer
+    from opental_tpu.utils.synthetic import (make_synthetic_anet_dataset,
+                                             make_synthetic_dataset)
+    from opental_tpu import factory
+
+    root = str(tmp_path / 'thumos')
+    cfg_path = make_synthetic_dataset(root, clip_length=128, crop_size=32,
+                                      n_test=2)
+    cfg = load_config(cfg_path)
+    anet_root = str(tmp_path / 'anet')
+    make_synthetic_anet_dataset(anet_root, clip_length=256, crop_size=32,
+                                spatial=40, n_val=3)
+
+    # an initialized (untrained) checkpoint is enough to drive the
+    # pipeline composition
+    model = factory.build_model(cfg, frame_num=128)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 128, 32, 32, 3), np.float32))
+    tx = make_optimizer(1e-5, 1e-3)
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(
+                           factory.build_loss_config(cfg).edl))
+    ckpt.save(cfg.training['checkpoint_path'], 11, state,
+              jax.random.PRNGKey(0))
+
+    # exclude videos annotated with Act01 (overlapping-class analog)
+    overlap_file = str(tmp_path / 'overlapping.txt')
+    with open(overlap_file, 'w') as f:
+        f.write('Act01\n')
+
+    anet_info = os.path.join(anet_root, 'annotations', 'video_info.json')
+    merged_path = run_cross_data(
+        cfg, anet_video_info=anet_info,
+        anet_npy_dir=os.path.join(anet_root, 'npy'),
+        overlapping_class_file=overlap_file)
+    payload = json.load(open(merged_path))
+    assert payload['version'] == 'THUMOS14'
+
+    results = payload['results']
+    thumos_vids = {k for k in results if k.startswith('test_video')}
+    anet_vids = {k for k in results if k.startswith('validation_')}
+    assert len(thumos_vids) == 2
+    assert 1 <= len(anet_vids) <= 3
+
+    # the exclusion rule really dropped Act01-annotated ANet videos
+    with open(anet_info) as f:
+        infos = json.load(f)
+    for name, info in infos.items():
+        if info['subset'] != 'validation':
+            continue
+        key = name[2:]
+        has_overlap = any(a['label'] == 'Act01'
+                          for a in info['annotations'])
+        assert (key in results) == (not has_overlap), (key, has_overlap)
+
+    # idempotence: per-pass JSONs are reused on a second run
+    mtime = os.path.getmtime(os.path.join(
+        cfg.testing['output_path'], 'thumos14_open_rgb.json'))
+    run_cross_data(cfg, anet_video_info=anet_info,
+                   anet_npy_dir=os.path.join(anet_root, 'npy'),
+                   overlapping_class_file=overlap_file)
+    assert os.path.getmtime(os.path.join(
+        cfg.testing['output_path'], 'thumos14_open_rgb.json')) == mtime
