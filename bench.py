@@ -68,7 +68,12 @@ def bench_inference(model, variables, x):
         out = model.apply(variables, clips)
         dec = decode_windows(out, CLIP, use_edl=True, os_head=True,
                              score_func='dirichlet')
-        return dec.scores[0, 0, 0].astype(jnp.float32)
+        # full-tensor witness: a sliced witness (scores[0,0,0]) lets XLA
+        # narrow the head convs to one prior and undercount
+        return (jnp.sum(dec.scores.astype(jnp.float32))
+                + jnp.sum(dec.segments.astype(jnp.float32))
+                + jnp.sum(dec.uncertainty.astype(jnp.float32))
+                + jnp.sum(dec.actionness.astype(jnp.float32)))
 
     def step(carry):
         return forward_decode(variables, x + carry * 0)

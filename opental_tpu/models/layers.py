@@ -287,11 +287,17 @@ def _same_pad_amount(size: int, kernel: int, stride: int) -> Tuple[int, int]:
 
 def max_pool_3d_same(x: Array, kernel: Sequence[int],
                      stride: Sequence[int]) -> Array:
-    """Max-pool over (B, T, H, W, C) with the reference's zero-pad SAME.
+    """Max-pool over (B, T, H, W, C) with the reference's zero-pad SAME
+    (layers.py:9-35).
 
-    The reference zero-pads then max-pools (layers.py:9-35). All of the I3D
-    pool inputs are post-ReLU (>= 0), so zero padding equals -inf padding —
-    we keep the exact zero-pad semantics regardless.
+    The reference zero-pads then max-pools (layers.py:9-35). All of the
+    I3D pool inputs are post-ReLU (>= 0), so zero padding equals -inf
+    padding — we keep the exact zero-pad semantics regardless.
+
+    Perf note: a separable per-axis formulation (three 1-D
+    reduce_windows) was measured 18ms SLOWER for the full backbone at
+    W=64 (222 vs 204 ms, scripts/bench_pool_ab.py) — XLA's fused 3-D
+    reduce-window wins; don't "optimize" this again.
     """
     kernel = _to_tuple(kernel, 3)
     stride = _to_tuple(stride, 3)

@@ -29,7 +29,7 @@ def main():
                          dtype=jnp.bfloat16)
         v = jax.jit(m.init)(jax.random.PRNGKey(0), x[:1])
         f = jax.jit(lambda xx, m=m, v=v, cut=cut: jnp.sum(
-            m.apply(v, xx)[cut][:1, :1, :1, :1, :1]).astype(jnp.float32))
+            m.apply(v, xx)[cut].astype(jnp.float32)))
         t = chain(f, x)
         print(f'{cut:20s} cumulative {t*1000:7.1f} ms  (+{(t-prev)*1000:6.1f} ms)')
         prev = t

@@ -29,14 +29,21 @@ def main():
         variables, xx,
         method=lambda m, a: m.backbone.stem_only(a)
         if hasattr(m.backbone, 'stem_only') else None))
-    backbone = jax.jit(lambda xx: model.apply(
-        variables, xx, method=lambda m, a: m.backbone(a)
-        )['Mixed_5c'][0, 0, 0, 0, 0].astype(jnp.float32))
-    full = jax.jit(lambda xx: model.apply(variables, xx)
-                   ['conf'][0, 0, 0].astype(jnp.float32))
-    full_dec = jax.jit(lambda xx: decode_windows(
-        model.apply(variables, xx), CLIP, use_edl=True, os_head=True,
-        score_func='dirichlet').scores[0, 0, 0].astype(jnp.float32))
+    # full-sum witnesses: sliced witnesses let XLA narrow conv outputs
+    backbone = jax.jit(lambda xx: sum(
+        jnp.sum(v.astype(jnp.float32)) for v in model.apply(
+            variables, xx, method=lambda m, a: m.backbone(a)).values()))
+    full = jax.jit(lambda xx: sum(
+        jnp.sum(v.astype(jnp.float32)) for k, v in
+        model.apply(variables, xx).items() if v is not None))
+    def _dec_sum(xx):
+        d = decode_windows(model.apply(variables, xx), CLIP, use_edl=True,
+                           os_head=True, score_func='dirichlet')
+        return (jnp.sum(d.scores.astype(jnp.float32))
+                + jnp.sum(d.segments.astype(jnp.float32))
+                + jnp.sum(d.uncertainty.astype(jnp.float32))
+                + jnp.sum(d.actionness.astype(jnp.float32)))
+    full_dec = jax.jit(_dec_sum)
 
     t_bb = chain(backbone, x)
     print(f'backbone only: {t_bb*1000:.1f} ms ({W/t_bb:.0f} clips/s)')
