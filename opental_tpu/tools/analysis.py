@@ -316,6 +316,73 @@ def actionness_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
     return written
 
 
+def stats_report(named_preds: Dict[str, str], gt_json: str, cls_idx: str,
+                 out_dir: str, ood_scoring: str = 'uncertainty',
+                 tiou: float = 0.3) -> List[str]:
+    """The analyze_stats.py figure set (experiments/analyze_stats.py):
+    per-method prediction-bucket fractions (background / known /
+    unknown, stats.png), mean ood score per bucket per method
+    (stats_ood_scores.png), and per-class Wilderness Impact curves over
+    tIoU (wi_<class>.png, :152-192). `named_preds` maps method name ->
+    detection JSON."""
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    buckets = {name: bucket_distributions(pred, gt_json, cls_idx,
+                                          ood_scoring, tiou)
+               for name, pred in named_preds.items()}
+
+    names = list(buckets)
+    kinds = ('bg', 'known', 'unknown')
+    x = np.arange(len(names))
+    plt.figure(figsize=(8, 4))
+    for j, kind in enumerate(kinds):
+        counts = [len(buckets[n]['ood_score'][kind]) for n in names]
+        totals = [max(sum(len(buckets[n]['ood_score'][k])
+                          for k in kinds), 1) for n in names]
+        frac = [c / t for c, t in zip(counts, totals)]
+        plt.bar(x + (j - 1) * 0.25, frac, width=0.25, label=kind)
+    plt.xticks(x, names, rotation=15)
+    plt.ylabel('fraction of predictions')
+    plt.legend()
+    plt.tight_layout()
+    path = os.path.join(out_dir, 'stats.png')
+    plt.savefig(path)
+    plt.close()
+    written.append(path)
+
+    path = os.path.join(out_dir, 'stats_ood_scores.png')
+    ood_bar_comparison(buckets, path)
+    written.append(path)
+
+    # per-class WI curves over a tIoU sweep (analyze_stats.py:152-192)
+    from opental_tpu.eval.detection import DetectionEvaluator
+    tious = np.arange(0.1, 1.0, 0.1)
+    for name, pred in named_preds.items():
+        ev = DetectionEvaluator(gt_json, pred, cls_idx,
+                                tiou_thresholds=tious,
+                                ood_scoring=ood_scoring, subset=['test'],
+                                openset=True)
+        _, _, wi = ev.evaluate('WI')          # (T, C)
+        classes = sorted(ev.activity_index,
+                         key=ev.activity_index.get)
+        plt.figure(figsize=(8, 5))
+        for ci, cls in enumerate(classes):
+            if cls == '__unknown__':
+                continue
+            plt.plot(tious, wi[:, ev.activity_index[cls] - 1],
+                     label=cls, lw=1)
+        plt.xlabel('tIoU')
+        plt.ylabel('Wilderness Impact')
+        plt.legend(fontsize=6, ncol=2)
+        plt.tight_layout()
+        path = os.path.join(out_dir, f'wi_{name}.png')
+        plt.savefig(path)
+        plt.close()
+        written.append(path)
+    return written
+
+
 def plot_gradnorm(metrics_jsonl: str, out_png: str,
                   key: str = 'grad_norm') -> None:
     """Grad-norm (or any metric) over steps from the train JSONL log
@@ -402,6 +469,13 @@ def main(argv=None) -> None:
     s3.add_argument('--which', default='roc', choices=['roc', 'pr'])
     s3.add_argument('--tidx', type=int, default=0)
     s3.add_argument('--out', default='auc_comparison.png')
+    s4 = sub.add_parser('stats')
+    s4.add_argument('named', nargs='+', help='name=pred.json entries')
+    s4.add_argument('--gt_json', required=True)
+    s4.add_argument('--cls_idx', required=True)
+    s4.add_argument('--ood_scoring', default='uncertainty')
+    s4.add_argument('--tiou', type=float, default=0.3)
+    s4.add_argument('--out_dir', default='figures')
     for name in ('distribution', 'actionness'):
         s = sub.add_parser(name)
         s.add_argument('config_file')
@@ -432,6 +506,11 @@ def main(argv=None) -> None:
         named = dict(e.split('=', 1) for e in args.named)
         compare_auc_curves(named, args.out, args.which, args.tidx)
         print('wrote', args.out)
+    elif args.cmd == 'stats':
+        named = dict(e.split('=', 1) for e in args.named)
+        for w in stats_report(named, args.gt_json, args.cls_idx,
+                              args.out_dir, args.ood_scoring, args.tiou):
+            print('wrote', w)
     elif args.cmd in ('distribution', 'actionness'):
         from opental_tpu.config import load_config
         from opental_tpu.tools.search_param import cache_raw_outputs

@@ -70,16 +70,108 @@ def timeline_figure(video: str, preds: List[dict], gts: List[dict],
     plt.close(fig)
 
 
+def action_bar_figure(video: str, named_preds: Dict[str, List[dict]],
+                      gts: List[dict], duration: float, out_png: str,
+                      thresholds: Optional[Dict[str, float]] = None,
+                      score_thresh: float = 0.2, n_cols: int = 1000
+                      ) -> None:
+    """Color-coded action-bar comparison strips, one row per method plus
+    the GT row (demo/visualization.py draw_action_detections:180-244):
+    each row is a timeline painted with a distinct color per class;
+    predictions rejected by the method's OOD threshold (composed as
+    1 - uncertainty vs the trainset-calibrated cutoff,
+    read_threshold:11-18) paint black as '__unknown__'."""
+    plt = _plt()
+    classes = sorted({g['label'] for g in gts}
+                     | {p['label'] for preds in named_preds.values()
+                        for p in preds})
+    cmap = plt.get_cmap('tab20')
+    colors = {c: cmap(i % 20)[:3] for i, c in enumerate(classes)}
+    rows = ['GT'] + list(named_preds)
+    bars = np.ones((len(rows), n_cols, 3))
+
+    def paint(row, segs):
+        for (s, e), color in segs:
+            a = int(np.clip(s / max(duration, 1e-6), 0, 1) * (n_cols - 1))
+            b = int(np.clip(e / max(duration, 1e-6), 0, 1) * (n_cols - 1))
+            bars[row, a:b + 1] = color
+
+    paint(0, [((g['segment'][0], g['segment'][1]), colors[g['label']])
+              for g in gts])
+    for ri, (name, preds) in enumerate(named_preds.items(), start=1):
+        thr = (thresholds or {}).get(name)
+        segs = []
+        for p in sorted(preds, key=lambda q: q['score']):
+            if p['score'] < score_thresh:
+                continue
+            rejected = (thr is not None
+                        and 1.0 - p.get('uncertainty', 0.0) < thr)
+            color = (0, 0, 0) if rejected else colors[p['label']]
+            segs.append(((p['segment'][0], p['segment'][1]), color))
+        paint(ri, segs)
+
+    fig, ax = plt.subplots(figsize=(10, 0.6 * len(rows) + 1))
+    ax.imshow(bars, aspect='auto', extent=(0, duration, len(rows), 0))
+    ax.set_yticks(np.arange(len(rows)) + 0.5)
+    ax.set_yticklabels(rows, fontsize=8)
+    ax.set_xlabel('time (s)')
+    handles = [plt.Rectangle((0, 0), 1, 1, color=colors[c])
+               for c in classes] + \
+        [plt.Rectangle((0, 0), 1, 1, color=(0, 0, 0))]
+    ax.legend(handles, classes + ['__unknown__'], fontsize=6,
+              ncol=4, loc='upper center', bbox_to_anchor=(0.5, -0.25))
+    fig.suptitle(video)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def read_threshold(trainset_result_json: str,
+                   scoring: str = 'confidence') -> float:
+    """Read the calibrated OOD cutoff from a thresholding-run JSON
+    (demo/visualization.py:11-18; written by tools/threshold.py)."""
+    with open(trainset_result_json) as f:
+        return float(json.load(f)['external_data']['threshold'])
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument('pred_json')
+    p.add_argument('pred_json', help='pred.json or name=pred.json pairs',
+                   nargs='+')
     p.add_argument('gt_json')
     p.add_argument('--videos', nargs='*', default=None)
     p.add_argument('--out_dir', default='viz')
     p.add_argument('--npy_dir', default=None)
     p.add_argument('--top_n', type=int, default=10)
     p.add_argument('--ood_threshold', type=float, default=None)
+    p.add_argument('--bars', action='store_true',
+                   help='multi-method color-bar strips '
+                        '(demo/visualization.py style)')
     args = p.parse_args(argv)
+
+    if args.bars:
+        named = {}
+        for entry in args.pred_json:
+            name, _, path = entry.rpartition('=')
+            named[name or os.path.basename(path)] = \
+                json.load(open(path))['results']
+        gt = json.load(open(args.gt_json))['database']
+        videos = args.videos or list(next(iter(named.values())))[:5]
+        os.makedirs(args.out_dir, exist_ok=True)
+        for video in videos:
+            gts = gt.get(video, {}).get('annotations', [])
+            duration = max([g['segment'][1] for g in gts] +
+                           [p['segment'][1] for preds in named.values()
+                            for p in preds.get(video, [])] + [1.0])
+            out = os.path.join(args.out_dir, f'{video}_bars.png')
+            action_bar_figure(video,
+                              {n: r.get(video, []) for n, r in
+                               named.items()},
+                              gts, duration, out,
+                              thresholds=None)
+            print('wrote', out)
+        return
+    args.pred_json = args.pred_json[0]
 
     preds = json.load(open(args.pred_json))['results']
     gt = json.load(open(args.gt_json))['database']
