@@ -206,6 +206,70 @@ def generate_anet_splits(anno_path: str, result_anno_path: str,
             _json.dump(filtered, f)
 
 
+def load_class_names(class_info_path: str) -> List[str]:
+    """One class name per line (datasets/anet_test_gt.py:5-10,
+    AFSD/anet_data/class_map.py:4)."""
+    with open(class_info_path) as f:
+        return [ln.strip() for ln in f.read().splitlines() if ln.strip()]
+
+
+def class_maps(class_info_path: str
+               ) -> Tuple[Dict[str, int], Dict[int, str]]:
+    """1-indexed name<->id maps (AFSD/anet_data/class_map.py:6-10)."""
+    names = load_class_names(class_info_path)
+    class_to_id = {name: i + 1 for i, name in enumerate(names)}
+    id_to_class = {i + 1: name for i, name in enumerate(names)}
+    return class_to_id, id_to_class
+
+
+def filtered_database(video_info: Dict[str, dict],
+                      keep_classes: Sequence[str],
+                      subset: str = 'validation') -> Dict[str, dict]:
+    """Keep only `subset` videos whose annotations fall in keep_classes;
+    drop videos left empty (datasets/anet_test_gt.py:20-36)."""
+    keep = set(keep_classes)
+    database = {}
+    for videoid, v in video_info['database'].items():
+        if v['subset'] != subset:
+            continue
+        annos = [a for a in v['annotations'] if a['label'] in keep]
+        if annos:
+            this = copy.deepcopy(v)
+            this['annotations'] = annos
+            database[videoid] = this
+    return {'database': database}
+
+
+def write_anet_val_gt(video_info_path: str, splits_dir: str,
+                      num_splits: int = 5,
+                      subset: str = 'validation') -> None:
+    """Per-split ANet validation ground truth: known_val_gt.json filtered
+    to split_i/action_known.txt classes and all_val_gt.json to
+    action_all.txt (datasets/anet_test_gt.py:40-63)."""
+    with open(video_info_path) as f:
+        video_info = json.load(f)
+    for i in range(num_splits):
+        split_path = os.path.join(splits_dir, f'split_{i}')
+        for cls_file, out_name in (('action_known.txt', 'known_val_gt.json'),
+                                   ('action_all.txt', 'all_val_gt.json')):
+            keep = load_class_names(os.path.join(split_path, cls_file))
+            gt = filtered_database(video_info, keep, subset=subset)
+            with open(os.path.join(split_path, out_name), 'w') as f:
+                json.dump(gt, f)
+
+
+def write_video_list(video_dir: str, out_txt: str,
+                     pattern: str = '*.mp4') -> List[str]:
+    """Sorted video-path list file (AFSD/anet_data/gen_video_list.py:1-6).
+    Returns the list written."""
+    import glob as _glob
+    paths = sorted(_glob.glob(os.path.join(video_dir, pattern)))
+    os.makedirs(os.path.dirname(os.path.abspath(out_txt)), exist_ok=True)
+    with open(out_txt, 'w') as f:
+        f.write(''.join(p + '\n' for p in paths))
+    return paths
+
+
 def merge_thumos_anet_gt(thumos_gt_path: str, anet_gt_path: str,
                          overlapping_class_file: str,
                          merged_gt_file: str,
