@@ -66,6 +66,7 @@ class BDNet(nn.Module):
     frame_num: int = 256
     arch: str = 'thumos'         # 'thumos' | 'anet' pyramid variant
     deterministic: bool = True
+    trunk_tfold: bool = False    # trunk 3x3x3 convs via temporal fold
     dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
 
     @property
@@ -74,7 +75,8 @@ class BDNet(nn.Module):
         return self.num_classes - 1 if self.os_head else self.num_classes
 
     def setup(self):
-        self.backbone = InceptionI3d(dtype=self.dtype)
+        self.backbone = InceptionI3d(dtype=self.dtype,
+                                     trunk_tfold=self.trunk_tfold)
         if self.arch == 'anet':
             from opental_tpu.models.anet_pyramid import AnetCoarsePyramid
             self.pyramid = AnetCoarsePyramid(

@@ -73,17 +73,19 @@ class InceptionModule(nn.Module):
     """4-branch inception block (i3d_backbone.py:90-121)."""
 
     out_channels: Sequence[int]
+    fold_temporal: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         oc = self.out_channels
         kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
+        kw3 = dict(kw, fold_temporal=self.fold_temporal)
         b0 = Unit3D(oc[0], kernel=(1, 1, 1), name='b0', **kw)(x)
         b1 = Unit3D(oc[1], kernel=(1, 1, 1), name='b1a', **kw)(x)
-        b1 = Unit3D(oc[2], kernel=(3, 3, 3), name='b1b', **kw)(b1)
+        b1 = Unit3D(oc[2], kernel=(3, 3, 3), name='b1b', **kw3)(b1)
         b2 = Unit3D(oc[3], kernel=(1, 1, 1), name='b2a', **kw)(x)
-        b2 = Unit3D(oc[4], kernel=(3, 3, 3), name='b2b', **kw)(b2)
+        b2 = Unit3D(oc[4], kernel=(3, 3, 3), name='b2b', **kw3)(b2)
         b3 = max_pool_3d_same(x, kernel=(3, 3, 3), stride=(1, 1, 1))
         b3 = Unit3D(oc[5], kernel=(1, 1, 1), name='b3b', **kw)(b3)
         return jax.numpy.concatenate([b0, b1, b2, b3], axis=-1)
@@ -104,6 +106,9 @@ class InceptionI3d(nn.Module):
     # stem via exact space-to-depth rewrite (8x MXU lane utilization on
     # the 3-channel 7x7x7 stride-2 conv, ~90% of backbone time otherwise)
     s2d_stem: bool = True
+    # trunk 3x3x3 convs via temporal-channel fold (one wide 2D conv on a
+    # 3-tap channel concat) instead of native conv3d
+    trunk_tfold: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -121,12 +126,14 @@ class InceptionI3d(nn.Module):
             elif ep == 'Conv3d_2b_1x1':
                 x = Unit3D(64, kernel=(1, 1, 1), name=ep, **kw)(x)
             elif ep == 'Conv3d_2c_3x3':
-                x = Unit3D(192, kernel=(3, 3, 3), name=ep, **kw)(x)
+                x = Unit3D(192, kernel=(3, 3, 3), name=ep,
+                           fold_temporal=self.trunk_tfold, **kw)(x)
             elif ep in MAXPOOL_SPECS:
                 kernel, stride = MAXPOOL_SPECS[ep]
                 x = max_pool_3d_same(x, kernel, stride)
             else:
                 x = InceptionModule(INCEPTION_SPECS[ep], name=ep,
+                                    fold_temporal=self.trunk_tfold,
                                     dtype=self.dtype)(x)
             if ep in keep:
                 out[ep] = x

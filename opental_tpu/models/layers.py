@@ -130,6 +130,50 @@ class Conv3dDecomposed(nn.Module):
         return out
 
 
+def conv3d_temporal_fold(x: Array, kernel: Array,
+                         dtype: Any = None) -> Array:
+    """Stride-1 SAME 3D conv as ONE 2D conv on temporally-shifted copies
+    concatenated into channels (kt*C input channels).
+
+    Unlike conv3d_temporal_decomp (kt separate conv2d calls + sum), this
+    keeps the MXU contraction wide (K = kh*kw*kt*C) at the cost of
+    materializing the kt-fold concat — the winning trade for the
+    channel-rich inception trunk (see BASELINE.md round-2 trunk A/B).
+    Exact same math as lax conv3d.
+
+    x: (B, T, H, W, C); kernel: (kt, kh, kw, C, O), kt odd, stride 1.
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    kt, kh, kw, c, f = kernel.shape
+    b, t, h, w, _ = x.shape
+    lo = (kt - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (lo, kt - 1 - lo), (0, 0), (0, 0), (0, 0)))
+    z = jnp.concatenate([xp[:, dt:dt + t] for dt in range(kt)], axis=-1)
+    w2 = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(kh, kw, kt * c, f)
+    y = jax.lax.conv_general_dilated(
+        z.reshape(b * t, h, w, kt * c), w2, (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y.reshape(b, t, h, w, f)
+
+
+class Conv3dTFold(nn.Module):
+    """Parameter holder for the temporal-fold conv; param path matches
+    nn.Conv ('kernel'). Stride-1 SAME only."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param('kernel', glorot_uniform,
+                            tuple(self.kernel_size)
+                            + (x.shape[-1], self.features))
+        return conv3d_temporal_fold(x, kernel, dtype=self.dtype)
+
+
 class Unit3D(nn.Module):
     """Conv3D + optional frozen BN + optional activation, TF-SAME padded.
 
@@ -147,15 +191,23 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     use_batch_norm: bool = True
     activation: Optional[Callable[[Array], Array]] = nn.relu
+    fold_temporal: bool = False      # kt>1 stride-1 SAME convs via t-fold
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        # NOTE: native conv3d is the right lowering here — the temporal
-        # decomposition only wins for lane-starved stems (measured: the
-        # channel-rich inception convs regress under decomposition)
         kernel = _to_tuple(self.kernel, 3)
         stride = _to_tuple(self.stride, 3)
+        if (self.fold_temporal and kernel[0] > 1
+                and stride == (1, 1, 1) and self.padding == 'same'
+                and not self.use_bias):
+            x = Conv3dTFold(self.features, kernel, dtype=self.dtype,
+                            name='conv')(x)
+            if self.use_batch_norm:
+                x = FrozenBatchNorm(self.features, name='bn')(x)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
         if self.padding == 'same':
             pad = 'SAME'
         elif self.padding == 'spatial_valid':
