@@ -67,6 +67,7 @@ class BDNet(nn.Module):
     arch: str = 'thumos'         # 'thumos' | 'anet' pyramid variant
     deterministic: bool = True
     trunk_tfold: bool = False    # trunk 3x3x3 convs via temporal fold
+    stem_pallas: bool = False    # stem pack via Pallas kernel (TPU only)
     dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
 
     @property
@@ -76,7 +77,8 @@ class BDNet(nn.Module):
 
     def setup(self):
         self.backbone = InceptionI3d(dtype=self.dtype,
-                                     trunk_tfold=self.trunk_tfold)
+                                     trunk_tfold=self.trunk_tfold,
+                                     stem_pallas=self.stem_pallas)
         if self.arch == 'anet':
             from opental_tpu.models.anet_pyramid import AnetCoarsePyramid
             self.pyramid = AnetCoarsePyramid(

@@ -58,12 +58,14 @@ class Stem(nn.Module):
     ('conv/kernel', 'bn/*') match the plain Unit3D layout."""
 
     features: int = 64
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = SpaceToDepthConv3d(self.features, kernel=(7, 7, 7),
                                in_channels=x.shape[-1], dtype=self.dtype,
+                               use_pallas=self.use_pallas,
                                name='conv')(x)
         x = FrozenBatchNorm(self.features, name='bn')(x)
         return jax.numpy.maximum(x, 0)
@@ -109,6 +111,8 @@ class InceptionI3d(nn.Module):
     # trunk 3x3x3 convs via temporal-channel fold (one wide 2D conv on a
     # 3-tap channel concat) instead of native conv3d
     trunk_tfold: bool = False
+    # stem packing via the Pallas kernel (TPU only)
+    stem_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -119,7 +123,8 @@ class InceptionI3d(nn.Module):
         for ep in ENDPOINTS:
             if ep == 'Conv3d_1a_7x7':
                 if self.s2d_stem:
-                    x = Stem(64, dtype=self.dtype, name=ep)(x)
+                    x = Stem(64, dtype=self.dtype,
+                             use_pallas=self.stem_pallas, name=ep)(x)
                 else:
                     x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
                                name=ep, **kw)(x)

@@ -247,6 +247,10 @@ class SpaceToDepthConv3d(nn.Module):
     features: int
     kernel: Tuple[int, int, int] = (7, 7, 7)
     in_channels: int = 3
+    # pack via the Pallas channel-leading kernel + NCHW conv
+    # (ops/stem_pack_pallas.stem_conv_v2) instead of the XLA
+    # pack24+conv3d path; TPU only (interpret mode is too slow on CPU)
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -273,6 +277,9 @@ class SpaceToDepthConv3d(nn.Module):
             hi = total - lo + ((size + total) % 2)
             pads.append((lo, hi))
         xp = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
+        if self.use_pallas:
+            from opental_tpu.ops.stem_pack_pallas import stem_conv_v2
+            return stem_conv_v2(xp, kernel.astype(xp.dtype))
         tp, hp, wp = xp.shape[1:4]
         # pack (2,2,2) blocks: y[.., u, p, q, (bt, bi, bj, c)], staged
         # one axis at a time (measured 30% faster than the 8-D transpose)
