@@ -139,7 +139,7 @@ def host_prelayout(xp: Array) -> Array:
 
 
 def _kernel_v2(x_hbm, out_ref, scratch, sem, *, a_t: int, c: int, wq: int,
-               fp: int, gap: int):
+               fp: int):
     b = pl.program_id(0)
     u = pl.program_id(1)
     frames = 2 * a_t + 2 * (fp - 1)
@@ -153,42 +153,39 @@ def _kernel_v2(x_hbm, out_ref, scratch, sem, *, a_t: int, c: int, wq: int,
     for r in range(frames):
         f = s[r].reshape(hp // 2, 2, lanes)
         halves.append((f[:, 0, :], f[:, 1, :]))
-    zeros = None
-    if fp > 1 and gap:
-        zeros = jnp.zeros((hp // 2, gap), s.dtype)
     pieces = []
     for r in range(2 * a_t):
         for bi in range(2):
             for bj in range(2):
                 for cc in range(c):
                     lo = (bj * c + cc) * wq
-                    subs = []
-                    for sub in range(fp):
-                        g = halves[2 * sub + r][bi]
-                        subs.append(g[:, lo:lo + wq])
-                        if sub < fp - 1 and zeros is not None:
-                            subs.append(zeros)
-                    pieces.append(subs[0] if len(subs) == 1
+                    # fp sub-frames side by side WITHOUT separators: the
+                    # consumer discards conv outputs whose windows
+                    # straddle sub-frame boundaries, so no zero gap is
+                    # needed (and the same-(bi,lo) operands share Mosaic
+                    # layout offsets, which a zeros-const concat breaks)
+                    subs = [halves[2 * sub + r][bi][:, lo:lo + wq]
+                            for sub in range(fp)]
+                    pieces.append(subs[0] if fp == 1
                                   else jnp.concatenate(subs, axis=-1))
     out_ref[0, 0] = jnp.stack(pieces, axis=0)   # channel-leading
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('a_t', 'c', 'wq', 'fp', 'gap',
-                                    'interpret'))
+                   static_argnames=('a_t', 'c', 'wq', 'fp', 'interpret'))
 def stem_pack96_v2(xw: Array, a_t: int = 4, c: int = 3,
-                   wq: int | None = None, fp: int = 1, gap: int = 3,
+                   wq: int | None = None, fp: int = 1,
                    interpret: bool = False) -> Array:
     """xw: (B, Tp, Hp8, lanes128) host-prelayouted video (see
     host_prelayout; lane content is (bj, c, q) chunks of width wq plus
-    alignment zeros). Returns z (B, t_out/fp, 8*a_t*C, Hp8/2,
-    fp*wq + (fp-1)*gap) — CHANNEL-LEADING, channel order (r, bi, bj, c).
+    alignment zeros). Returns z (B, t_out/fp, 8*a_t*C, Hp8/2, fp*wq) —
+    CHANNEL-LEADING, channel order (r, bi, bj, c).
 
-    fp > 1 packs fp consecutive output frames side-by-side in lanes,
-    separated by `gap` zero columns (= conv kernel width - 1, so VALID
-    conv windows never mix neighbouring sub-frames; the consumer drops
-    the straddling output columns). This cuts the 128-lane padding tax:
-    51 lanes pad 2.51x, 105 lanes pad 1.22x."""
+    fp > 1 packs fp consecutive output frames side-by-side in lanes with
+    no separator; conv windows that straddle a sub-frame boundary
+    produce garbage columns the consumer discards. This cuts the
+    128-lane padding tax (51 lanes pad 2.51x; 8*51=408 pad 1.25x) and
+    the temporal DMA overlap (8 -> 2.75 frames/output at fp=8)."""
     b, tp, hp, lanes = xw.shape
     assert tp % 2 == 0 and hp % 2 == 0
     if wq is None:
@@ -197,10 +194,9 @@ def stem_pack96_v2(xw: Array, a_t: int = 4, c: int = 3,
     t_out = tp // 2 - a_t + 1
     assert t_out % fp == 0, (t_out, fp)
     ch = 8 * a_t * c
-    wlane = fp * wq + (fp - 1) * gap
+    wlane = fp * wq
 
-    kern = functools.partial(_kernel_v2, a_t=a_t, c=c, wq=wq, fp=fp,
-                             gap=gap)
+    kern = functools.partial(_kernel_v2, a_t=a_t, c=c, wq=wq, fp=fp)
     return pl.pallas_call(
         kern,
         grid=(b, t_out // fp),
@@ -257,12 +253,11 @@ def stem_conv_v2(xp: Array, kernel: Array, a_t: int = 4, fp: int = 1,
     h_out = xp.shape[2] // 2 - a_h + 1   # true rows, pre H8-pad
     wq = xp.shape[3] // 2
     w_out = wq - a_w + 1
-    gap = a_w - 1
     t_full = xp.shape[1] // 2 - a_t + 1
     if t_full % fp:
         fp = 1
     xw = host_prelayout(xp)
-    z = stem_pack96_v2(xw, a_t=a_t, c=c, wq=wq, fp=fp, gap=gap,
+    z = stem_pack96_v2(xw, a_t=a_t, c=c, wq=wq, fp=fp,
                        interpret=interpret)
     w2 = pack96_weights(kernel, a_t=a_t).astype(z.dtype)
     t2, ch, h2, wlane = z.shape[1], z.shape[2], z.shape[3], z.shape[4]
@@ -273,9 +268,8 @@ def stem_conv_v2(xp: Array, kernel: Array, a_t: int = 4, fp: int = 1,
     if fp == 1:
         return y.reshape((b, t2) + y.shape[1:])
     # split the fp sub-frames back out of the lane axis, dropping the
-    # output columns that straddle the zero gaps
-    subs = [y[:, :, s * (wq + gap):s * (wq + gap) + w_out]
-            for s in range(fp)]
+    # output columns whose windows straddle sub-frame boundaries
+    subs = [y[:, :, s * wq:s * wq + w_out] for s in range(fp)]
     y = jnp.stack(subs, axis=1)           # (b*t2, fp, h_out, w_out, F)
     return y.reshape((b, t2 * fp) + y.shape[2:])
 
