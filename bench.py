@@ -4,8 +4,10 @@ an on-device Pallas-vs-XLA boundary-pooling equivalence check.
 
 Protocol lineage: the reference speed test (AFSD/thumos14/BDNet.py:564-588)
 times sequential single-clip forwards on [1, 3, 256, 96, 96]; here the
-framework-native window-batched path runs W=64 windows per device step in
-bf16 (forward + on-device decode). The e2e phase runs the full
+framework-native window-batched path runs W=128 windows per device step
+in bf16 (forward + on-device decode). W sweep measured (round 2,
+scripts/bench_w_sweep.py): 32/64/96/128 -> 300/310/363/419 clips/s;
+W=160 OOMs v5e HBM, so 128 is the chip's sweet spot. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
 64-window synthetic video. The train phase times the full OpenTAL-final
 jitted train step (EDL-MIB + PU actionness + SSL triplet) at batch 1.
@@ -41,7 +43,7 @@ FLOPS_PER_CLIP = 175.07e9          # fwd [1,256,96,96,3], XLA cost analysis
 V5E_PEAK_BF16 = 197e12             # TPU v5e peak bf16 FLOP/s
 A100_REF_CLIPS_PER_SEC = 49.0      # derived, BASELINE.md "A100 derivation"
 
-BATCH_WINDOWS = 64
+BATCH_WINDOWS = 128
 CLIP = 256
 CROP = 96
 WARMUP = 3
@@ -171,9 +173,12 @@ def check_pallas_vs_xla():
 def main():
     model = BDNet(num_classes=16, os_head=True, use_edl=True,
                   frame_num=CLIP, dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(BATCH_WINDOWS, CLIP, CROP, CROP, 3),
-                    jnp.float32)
+    # generate the timing input ON DEVICE: a (128,256,96,96,3) f32 batch
+    # is 3.6 GB, which costs minutes through the 20-50 MB/s tunnel and
+    # nothing on a real host link; content is irrelevant to timing
+    x = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (BATCH_WINDOWS, CLIP, CROP, CROP, 3),
+        jnp.float32))()
     # jit the init: un-jitted tracing dispatches thousands of individual
     # ops, which is pathological through a remote-device tunnel
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])

@@ -56,6 +56,10 @@ def build_model(cfg: Config, frame_num: Optional[int] = None,
             import jax.numpy as jnp
             dtype = jnp.bfloat16
     frame = frame_num or cfg.get_path('dataset.training.clip_length', 256)
+    # optional measured perf knobs (exact-math formulation switches,
+    # default off — see BASELINE.md trunk/stem A/B):
+    flags['trunk_tfold'] = bool(cfg.get_path('model.trunk_tfold', False))
+    flags['stem_pallas'] = bool(cfg.get_path('model.stem_pallas', False))
     return BDNet(frame_num=frame, deterministic=deterministic, dtype=dtype,
                  **flags)
 
