@@ -36,16 +36,14 @@ def build_model(cfg: Config, frame_num: Optional[int] = None,
                 deterministic: bool = True, dtype=None,
                 in_channels: Optional[int] = None) -> BDNet:
     flags = model_flags(cfg)
-    # The backbone always runs frozen-statistics BN (FrozenBatchNorm);
-    # train-mode BN (freeze_bn: false) is not implemented — every shipped
-    # reference config freezes it (thumos14/BDNet.py:39-49). Fail loudly
-    # rather than silently training with different semantics.
-    if not cfg.get_path('model.freeze_bn', True) \
-            or not cfg.get_path('model.freeze_bn_affine', True):
-        raise NotImplementedError(
-            'freeze_bn/freeze_bn_affine: false is unsupported; the I3D '
-            'backbone always uses frozen BN stats + affine (see '
-            'PARITY.md "Known deviations")')
+    # reference BN freeze modes (thumos14/BDNet.py:39-49): freeze_bn
+    # keeps running stats, freeze_bn_affine additionally freezes
+    # gamma/beta; freeze_bn: false trains BN with batch statistics and
+    # EMA running-stat updates (train step applies with mutable
+    # 'constants')
+    flags['freeze_bn'] = bool(cfg.get_path('model.freeze_bn', True))
+    flags['freeze_bn_affine'] = bool(
+        cfg.get_path('model.freeze_bn_affine', True))
     if in_channels is not None:
         flags['in_channels'] = in_channels
     if dtype is None:

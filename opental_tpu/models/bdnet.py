@@ -68,6 +68,8 @@ class BDNet(nn.Module):
     deterministic: bool = True
     trunk_tfold: bool = False    # trunk 3x3x3 convs via temporal fold
     stem_pallas: bool = False    # stem pack via Pallas kernel (TPU only)
+    freeze_bn: bool = True       # thumos14/BDNet.py:39-49 freeze modes
+    freeze_bn_affine: bool = True
     dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
 
     @property
@@ -76,9 +78,11 @@ class BDNet(nn.Module):
         return self.num_classes - 1 if self.os_head else self.num_classes
 
     def setup(self):
-        self.backbone = InceptionI3d(dtype=self.dtype,
-                                     trunk_tfold=self.trunk_tfold,
-                                     stem_pallas=self.stem_pallas)
+        self.backbone = InceptionI3d(
+            dtype=self.dtype, trunk_tfold=self.trunk_tfold,
+            stem_pallas=self.stem_pallas, freeze_bn=self.freeze_bn,
+            freeze_bn_affine=self.freeze_bn_affine,
+            bn_train=not self.freeze_bn and not self.deterministic)
         if self.arch == 'anet':
             from opental_tpu.models.anet_pyramid import AnetCoarsePyramid
             self.pyramid = AnetCoarsePyramid(

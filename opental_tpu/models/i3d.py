@@ -59,6 +59,9 @@ class Stem(nn.Module):
 
     features: int = 64
     use_pallas: bool = False
+    bn_freeze_stats: bool = True
+    bn_freeze_affine: bool = True
+    bn_train: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -67,7 +70,10 @@ class Stem(nn.Module):
                                in_channels=x.shape[-1], dtype=self.dtype,
                                use_pallas=self.use_pallas,
                                name='conv')(x)
-        x = FrozenBatchNorm(self.features, name='bn')(x)
+        x = FrozenBatchNorm(self.features,
+                            freeze_stats=self.bn_freeze_stats,
+                            freeze_affine=self.bn_freeze_affine,
+                            train_mode=self.bn_train, name='bn')(x)
         return jax.numpy.maximum(x, 0)
 
 
@@ -76,12 +82,18 @@ class InceptionModule(nn.Module):
 
     out_channels: Sequence[int]
     fold_temporal: bool = False
+    bn_freeze_stats: bool = True
+    bn_freeze_affine: bool = True
+    bn_train: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         oc = self.out_channels
-        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
+        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype,
+                  bn_freeze_stats=self.bn_freeze_stats,
+                  bn_freeze_affine=self.bn_freeze_affine,
+                  bn_train=self.bn_train)
         kw3 = dict(kw, fold_temporal=self.fold_temporal)
         b0 = Unit3D(oc[0], kernel=(1, 1, 1), name='b0', **kw)(x)
         b1 = Unit3D(oc[1], kernel=(1, 1, 1), name='b1a', **kw)(x)
@@ -113,18 +125,31 @@ class InceptionI3d(nn.Module):
     trunk_tfold: bool = False
     # stem packing via the Pallas kernel (TPU only)
     stem_pallas: bool = False
+    # reference freeze modes (thumos14/BDNet.py:39-49): freeze_bn keeps
+    # running stats; freeze_bn_affine additionally freezes gamma/beta;
+    # bn_train=True (train step, freeze_bn: false) uses batch stats and
+    # EMA-updates the running stats (mutable 'constants')
+    freeze_bn: bool = True
+    freeze_bn_affine: bool = True
+    bn_train: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Dict[str, Array]:
         keep = set(ENDPOINTS) if self.keep == 'all' else set(self.keep)
         out: Dict[str, Array] = {}
-        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype)
+        bn_kw = dict(bn_freeze_stats=self.freeze_bn,
+                     bn_freeze_affine=self.freeze_bn
+                     and self.freeze_bn_affine,
+                     bn_train=self.bn_train)
+        kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype,
+                  **bn_kw)
         for ep in ENDPOINTS:
             if ep == 'Conv3d_1a_7x7':
                 if self.s2d_stem:
                     x = Stem(64, dtype=self.dtype,
-                             use_pallas=self.stem_pallas, name=ep)(x)
+                             use_pallas=self.stem_pallas, name=ep,
+                             **bn_kw)(x)
                 else:
                     x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
                                name=ep, **kw)(x)
@@ -139,7 +164,7 @@ class InceptionI3d(nn.Module):
             else:
                 x = InceptionModule(INCEPTION_SPECS[ep], name=ep,
                                     fold_temporal=self.trunk_tfold,
-                                    dtype=self.dtype)(x)
+                                    dtype=self.dtype, **bn_kw)(x)
             if ep in keep:
                 out[ep] = x
             if ep == self.final_endpoint:

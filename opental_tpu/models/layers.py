@@ -43,29 +43,59 @@ def _to_tuple(x, n: int) -> Tuple[int, ...]:
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm evaluated with frozen running statistics.
+    """BatchNorm covering every reference freeze mode
+    (thumos14/BDNet.py:39-49, nn.BatchNorm3d(eps=1e-3, momentum=0.01)
+    i3d_backbone.py:43).
 
-    y = (x - mean) / sqrt(var + eps) * gamma + beta, with all four tensors
-    held in the non-trainable 'constants' collection. This reproduces the
-    reference's freeze_bn + freeze_bn_affine training mode
-    (thumos14/BDNet.py:39-49) and standard eval-mode BN at inference.
+    Default (freeze_stats + freeze_affine, the shipped-config mode): all
+    four tensors live in the non-trainable 'constants' collection and
+    y = (x - mean) / sqrt(var + eps) * gamma + beta with running stats —
+    identical trees/semantics to the original frozen-only module.
+
+    freeze_affine=False moves gamma/beta into 'params' (trainable, the
+    reference's freeze_bn_affine: false). freeze_stats=False with
+    train_mode=True normalizes by biased batch statistics and EMA-updates
+    the running stats with the unbiased batch variance (torch train-mode
+    BN; update momentum 0.01) — apply with mutable=['constants'].
     """
 
     features: int
     eps: float = BN_EPS
+    momentum: float = 0.01
+    freeze_stats: bool = True
+    freeze_affine: bool = True
+    train_mode: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         shape = (self.features,)
-        gamma = self.variable('constants', 'scale', nn.initializers.ones,
-                              None, shape).value
-        beta = self.variable('constants', 'bias', nn.initializers.zeros,
-                             None, shape).value
-        mean = self.variable('constants', 'mean', nn.initializers.zeros,
-                             None, shape).value
-        var = self.variable('constants', 'var', nn.initializers.ones,
-                            None, shape).value
-        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        if self.freeze_affine:
+            gamma = self.variable('constants', 'scale',
+                                  nn.initializers.ones, None, shape).value
+            beta = self.variable('constants', 'bias',
+                                 nn.initializers.zeros, None, shape).value
+        else:
+            gamma = self.param('scale', nn.initializers.ones, shape)
+            beta = self.param('bias', nn.initializers.zeros, shape)
+        mean_v = self.variable('constants', 'mean', nn.initializers.zeros,
+                               None, shape)
+        var_v = self.variable('constants', 'var', nn.initializers.ones,
+                              None, shape)
+        if (not self.freeze_stats) and self.train_mode:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            n = x.size // self.features
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                mean_v.value = (1 - m) * mean_v.value + m * mean
+                var_v.value = (1 - m) * var_v.value + m * unbiased
+        else:
+            mean = mean_v.value.astype(jnp.float32)
+            var = var_v.value.astype(jnp.float32)
+        inv = jax.lax.rsqrt(var + self.eps)
         scale = (gamma * inv).astype(x.dtype)
         bias = (beta - mean * gamma * inv).astype(x.dtype)
         return x * scale + bias
@@ -192,7 +222,16 @@ class Unit3D(nn.Module):
     use_batch_norm: bool = True
     activation: Optional[Callable[[Array], Array]] = nn.relu
     fold_temporal: bool = False      # kt>1 stride-1 SAME convs via t-fold
+    bn_freeze_stats: bool = True
+    bn_freeze_affine: bool = True
+    bn_train: bool = False
     dtype: Any = None
+
+    def _bn(self, x: Array) -> Array:
+        return FrozenBatchNorm(self.features,
+                               freeze_stats=self.bn_freeze_stats,
+                               freeze_affine=self.bn_freeze_affine,
+                               train_mode=self.bn_train, name='bn')(x)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -204,7 +243,7 @@ class Unit3D(nn.Module):
             x = Conv3dTFold(self.features, kernel, dtype=self.dtype,
                             name='conv')(x)
             if self.use_batch_norm:
-                x = FrozenBatchNorm(self.features, name='bn')(x)
+                x = self._bn(x)
             if self.activation is not None:
                 x = self.activation(x)
             return x
@@ -224,7 +263,7 @@ class Unit3D(nn.Module):
                     kernel_init=glorot_uniform, dtype=self.dtype,
                     name='conv')(x)
         if self.use_batch_norm:
-            x = FrozenBatchNorm(self.features, name='bn')(x)
+            x = self._bn(x)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -73,14 +73,26 @@ def make_anet_optimizer(learning_rate: float, weight_decay: float,
 def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
                    params, constants, batch: Dict[str, Array],
                    edl_state: Optional[EDLState], epoch: Array,
-                   dropout_rng: Optional[Array] = None
-                   ) -> Tuple[Array, Dict[str, Array], Optional[EDLState]]:
+                   dropout_rng: Optional[Array] = None,
+                   train_bn: bool = False
+                   ) -> Tuple[Array, Dict[str, Array], Optional[EDLState],
+                              Any]:
     """Full training objective (train.py:222-241). batch keys:
     clips (B,T,H,W,C), truths (B,N,2), labels (B,N), gt_mask (B,N),
-    scores (B,2,T), ssl_clips, ssl_props (B,3,2), ssl_flags (B,)."""
+    scores (B,2,T), ssl_clips, ssl_props (B,3,2), ssl_flags (B,).
+
+    train_bn=True (freeze_bn: false) applies with mutable 'constants' so
+    BN running stats EMA-update; the updated constants are returned
+    (torch updates them on every forward incl. the SSL pass)."""
     variables = {'params': params, 'constants': constants}
     rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
-    out = model.apply(variables, batch['clips'], rngs=rngs)
+    if train_bn:
+        out, mut = model.apply(variables, batch['clips'], rngs=rngs,
+                               mutable=['constants'])
+        constants = mut['constants']
+        variables = {'params': params, 'constants': constants}
+    else:
+        out = model.apply(variables, batch['clips'], rngs=rngs)
 
     if loss_cfg.variant == 'anet':
         from opental_tpu.losses.anet_multisegment import (
@@ -109,9 +121,15 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
 
     loss_trip = jnp.asarray(0.0)
     if weights.ssl > 0 and 'ssl_clips' in batch:
-        anchors, positives, negatives = model.apply(
-            variables, batch['ssl_clips'], batch['ssl_props'],
-            method='ssl_forward', rngs=rngs)
+        if train_bn:
+            (anchors, positives, negatives), mut = model.apply(
+                variables, batch['ssl_clips'], batch['ssl_props'],
+                method='ssl_forward', rngs=rngs, mutable=['constants'])
+            constants = mut['constants']
+        else:
+            anchors, positives, negatives = model.apply(
+                variables, batch['ssl_clips'], batch['ssl_props'],
+                method='ssl_forward', rngs=rngs)
         scale_w = (1.0, 0.1, 0.1)
         per_scale = [w * triplet_margin_loss(a, p, n)
                      for a, p, n, w in zip(anchors, positives, negatives,
@@ -125,7 +143,7 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
     metrics = dict(losses)
     metrics.update({'loss_start': loss_start, 'loss_end': loss_end,
                     'loss_trip': loss_trip, 'cost': cost})
-    return cost, metrics, new_edl_state
+    return cost, metrics, new_edl_state, constants
 
 
 def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
@@ -133,16 +151,22 @@ def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
     """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
     Pure; jit or pjit it over a data-sharded batch."""
 
+    # freeze_bn: false -> BN normalizes by batch stats and its running
+    # stats EMA-update through the step (torch train-mode BN)
+    train_bn = (not getattr(model, 'freeze_bn', True)
+                and not getattr(model, 'deterministic', True))
+
     def train_step(state: TrainState, batch: Dict[str, Array],
                    epoch: Array, rng: Optional[Array] = None
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         def loss_fn(params):
-            cost, metrics, new_edl = compute_losses(
+            cost, metrics, new_edl, new_consts = compute_losses(
                 model, loss_cfg, weights, params, state.constants, batch,
-                state.edl_state, epoch, dropout_rng=rng)
-            return cost, (metrics, new_edl)
+                state.edl_state, epoch, dropout_rng=rng,
+                train_bn=train_bn)
+            return cost, (metrics, new_edl, new_consts)
 
-        (_, (metrics, new_edl)), grads = jax.value_and_grad(
+        (_, (metrics, new_edl, new_consts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # data-parallel gradient reduction is inserted by pjit/XLA from
         # the sharding annotations; nothing manual here
@@ -153,6 +177,8 @@ def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(params=new_params, opt_state=new_opt_state,
                              edl_state=new_edl,
+                             constants=(new_consts if train_bn
+                                        else state.constants),
                              step=state.step + 1), metrics
 
     return train_step
