@@ -20,7 +20,8 @@ from opental_tpu import factory
 from opental_tpu.config import Config, config_from_args
 from opental_tpu.data.thumos import get_class_index_map, get_video_info
 from opental_tpu.infer.pipeline import InferencePipeline, proposals_to_json
-from opental_tpu.utils.torch_convert import (convert_bdnet_checkpoint,
+from opental_tpu.utils.torch_convert import (align_bn_collections,
+                                             convert_bdnet_checkpoint,
                                              merge_variables)
 
 
@@ -48,6 +49,7 @@ def load_variables(model, checkpoint_path: str, sample_shape) -> dict:
                 'constants': state['constants'] if isinstance(state, dict)
                 else state.constants}
     loaded = convert_bdnet_checkpoint(path)
+    loaded = align_bn_collections(loaded, template['params'])
     return {'params': merge_variables(template['params'],
                                       loaded['params'], strict=True),
             'constants': merge_variables(template['constants'],

@@ -79,7 +79,10 @@ def init_state(cfg: Config, model, tx, rng_key,
                                                 rng_key)
     backbone_path = cfg.get_path('model.backbone_model')
     if backbone_path and os.path.exists(backbone_path):
+        from opental_tpu.utils.torch_convert import align_bn_collections
         loaded = convert_i3d_checkpoint(backbone_path)
+        # freeze_bn_affine: false templates train gamma/beta as params
+        loaded = align_bn_collections(loaded, variables['params'])
         variables = {
             'params': merge_variables(variables['params'],
                                       loaded['params']),
@@ -111,7 +114,11 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
     batch_size = tr.get('batch_size', 1)
     seed = tr.get('random_seed', 2020)
 
-    model = factory.build_model(cfg, deterministic=True)
+    # train mode (reference model.train()): enables dropout (rng is
+    # threaded per step) and, when freeze_bn: false, train-mode BN stat
+    # updates; shipped configs have dropout 0 + frozen BN, where this is
+    # numerically identical to the old deterministic build
+    model = factory.build_model(cfg, deterministic=False)
     loss_cfg = factory.build_loss_config(cfg)
     weights = factory.build_loss_weights(cfg)
     if model.arch == 'anet':

@@ -203,6 +203,35 @@ def convert_bdnet_checkpoint(path: str) -> Dict[str, Dict[str, Any]]:
     return convert_state_dict(sd, map_bdnet_key)
 
 
+def align_bn_collections(loaded: Dict[str, Dict[str, Any]],
+                         params_template: Dict[str, Any]
+                         ) -> Dict[str, Dict[str, Any]]:
+    """Move converted BN gamma/beta ('scale'/'bias') from 'constants'
+    into 'params' wherever the template holds them there (models built
+    with freeze_bn_affine: false train the BN affine; torch checkpoints
+    are collection-agnostic). Returns a new {'params', 'constants'}."""
+    import copy as _copy
+    out = {'params': _copy.deepcopy(loaded.get('params', {})),
+           'constants': _copy.deepcopy(loaded.get('constants', {}))}
+
+    def rec(tmpl, par, con):
+        for k, v in tmpl.items():
+            if not isinstance(v, dict):
+                continue
+            if (set(v) >= {'scale', 'bias'} and isinstance(con.get(k), dict)
+                    and 'mean' in con[k]):
+                sub = par.setdefault(k, {})
+                for leaf in ('scale', 'bias'):
+                    if leaf in con[k] and leaf not in sub:
+                        sub[leaf] = con[k].pop(leaf)
+            else:
+                rec(v, par.setdefault(k, {}) if k in par or k in con
+                    else {}, con.get(k, {}))
+
+    rec(params_template, out['params'], out['constants'])
+    return out
+
+
 def merge_variables(template: Dict[str, Any], loaded: Dict[str, Any],
                     strict: bool = False) -> Dict[str, Any]:
     """Overlay loaded arrays onto an init-template tree, shape-checked."""

@@ -57,8 +57,20 @@ def test_train_test_eval_workflow(tmp_path):
     assert all(os.path.exists(os.path.join(cache_dir, n + '.npz'))
                for n in names)
     gt = os.path.join(root, 'annotations', 'gt_open.json')
+    # closed-set sweep scoring needs the known-classes GT (the reference
+    # points search_param at the split-filtered GT; the open GT carries
+    # unknown-class segments the closed evaluator must never see)
+    from opental_tpu.openset.splits import filter_gt_json, load_class_names
+    known = {ln.split(maxsplit=1)[1] for ln in load_class_names(
+        os.path.join(root, 'annotations', 'Class_Index_Known.txt'))}
+    import json as _json
+    all_labels = {a['label']
+                  for v in _json.load(open(gt))['database'].values()
+                  for a in v['annotations']}
+    gt_known = os.path.join(root, 'annotations', 'gt_known.json')
+    filter_gt_json(gt, gt_known, sorted(all_labels - known))
     for sigma in (0.5, 0.9):
-        score = evaluate_candidate(cfg, cache_dir, names, gt,
+        score = evaluate_candidate(cfg, cache_dir, names, gt_known,
                                    os.path.join(root, 'output'), sigma)
         assert np.isfinite(score)
 
