@@ -85,3 +85,52 @@ def test_sharded_train_step_matches_single_device():
             np.asarray(shard_state.edl_state.weight_accum),
             np.asarray(single_state.edl_state.weight_accum),
             rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_sharded_train_bn_matches_single_device():
+    """freeze_bn: false under data parallelism: BN batch statistics are
+    GLOBAL-batch (XLA inserts the cross-shard reduction for the
+    batch-axis mean), so the sharded step's updated running stats and
+    params must equal the single-device step's — unlike torch
+    DataParallel's per-replica BN. Guards the mutable-constants path
+    through pjit."""
+    assert jax.device_count() >= 8, 'conftest must provide 8 CPU devices'
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=FRAME, deterministic=False, freeze_bn=False,
+                  freeze_bn_affine=False)
+    edl = EDLConfig(num_classes=15, loss_type='log', evidence='exp')
+    cfg = LossConfig(num_classes=15, clip_length=FRAME, piou=0.5,
+                     cls_type='edl', edl=edl, os_head=True,
+                     act_weight=0.1)
+    tx = make_optimizer(1e-5, 1e-3)
+    batch = {k: jnp.asarray(v) for k, v in
+             tiny_train_batch(8, FRAME, CROP).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch['clips'][:1])
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(edl))
+    step = jax.jit(make_train_step(model, cfg, LossWeights(), tx))
+    epoch = jnp.asarray(1)
+
+    single_state, _ = step(state, batch, epoch)
+    mesh = meshlib.make_mesh(8)
+    shard_state, _ = step(meshlib.replicate(mesh, state),
+                          meshlib.shard_batch(mesh, batch), epoch)
+
+    stem_bn = ('backbone', 'Conv3d_1a_7x7', 'bn')
+    for leaf in ('mean', 'var'):
+        a = single_state.constants
+        b = shard_state.constants
+        for k in stem_bn:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b[leaf]),
+                                   np.asarray(a[leaf]),
+                                   rtol=1e-4, atol=1e-7,
+                                   err_msg=f'bn {leaf}')
+    # running stats actually moved (train-mode engaged under the mesh)
+    init_mean = variables['constants']['backbone']['Conv3d_1a_7x7'][
+        'bn']['mean']
+    a = single_state.constants['backbone']['Conv3d_1a_7x7']['bn']['mean']
+    assert not np.allclose(np.asarray(a), np.asarray(init_mean))

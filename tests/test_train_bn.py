@@ -136,3 +136,27 @@ def test_train_step_updates_bn_stats(tmp_path):
         new_state.params['backbone']['Conv3d_1a_7x7']['bn']['scale'])
     assert not np.allclose(old_scale, new_scale), \
         'BN affine did not train'
+
+
+def test_align_bn_collections():
+    """Converted torch checkpoints rehome BN gamma/beta into 'params'
+    when the template trains the affine (freeze_bn_affine: false)."""
+    from opental_tpu.utils.torch_convert import align_bn_collections
+    loaded = {'params': {'backbone': {'s': {'conv': {'kernel':
+                                                     np.ones(2)}}}},
+              'constants': {'backbone': {'s': {'bn': {
+                  'scale': np.full(3, 2.0), 'bias': np.ones(3),
+                  'mean': np.zeros(3), 'var': np.ones(3)}}}}}
+    tmpl = {'backbone': {'s': {'conv': {'kernel': np.ones(2)},
+                               'bn': {'scale': np.ones(3),
+                                      'bias': np.zeros(3)}}}}
+    out = align_bn_collections(loaded, tmpl)
+    bn_p = out['params']['backbone']['s']['bn']
+    assert set(bn_p) == {'scale', 'bias'}
+    np.testing.assert_array_equal(bn_p['scale'], np.full(3, 2.0))
+    assert set(out['constants']['backbone']['s']['bn']) == {'mean', 'var'}
+    # frozen template: nothing moves
+    out2 = align_bn_collections(loaded, {'backbone': {'s': {
+        'conv': {'kernel': np.ones(2)}}}})
+    assert set(out2['constants']['backbone']['s']['bn']) == {
+        'scale', 'bias', 'mean', 'var'}
