@@ -67,18 +67,30 @@ class BoundaryMaxPooling(torch.nn.Module):
 
 
 def install_reference_stubs():
-    """Idempotently register /root/reference on sys.path with the config
-    singleton and CUDA op stubbed out."""
+    """Register /root/reference on sys.path with the config singleton
+    and CUDA op stubbed out.
+
+    Always (re)binds the CANONICAL config module and purges cached
+    AFSD.* modules: other tests (e.g. tests/test_anet_parity.py) swap in
+    their own config stub, and reference modules freeze whichever config
+    they saw at first import — without the purge, a later
+    `import AFSD.common.thumos_dataset` would bind the leftover ANet
+    config and KeyError on THUMOS-only keys (order-dependent flake)."""
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if not hasattr(np, 'float'):
         # the reference predates numpy 1.24's alias removal
         np.float = float  # type: ignore[attr-defined]
-    if 'AFSD.common.config' not in sys.modules:
+    stale = (sys.modules.get('AFSD.common.config') is None
+             or getattr(sys.modules['AFSD.common.config'], 'config', None)
+             is not STUB_CONFIG)
+    if stale:
+        for mod in list(sys.modules):
+            if mod == 'AFSD' or mod.startswith('AFSD.'):
+                sys.modules.pop(mod)
         cfg_mod = types.ModuleType('AFSD.common.config')
         cfg_mod.config = STUB_CONFIG
         sys.modules['AFSD.common.config'] = cfg_mod
-    if 'AFSD.prop_pooling.boundary_pooling_op' not in sys.modules:
         bmp_mod = types.ModuleType('AFSD.prop_pooling.boundary_pooling_op')
         bmp_mod.BoundaryMaxPooling = BoundaryMaxPooling
         sys.modules['AFSD.prop_pooling.boundary_pooling_op'] = bmp_mod
