@@ -85,7 +85,10 @@ class FrozenBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
-            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            # centered two-pass form: E[x^2]-E[x]^2 cancels
+            # catastrophically for large-mean activations and can go
+            # slightly negative; this cannot
+            var = jnp.maximum(jnp.mean(jnp.square(xf - mean), axes), 0.0)
             n = x.size // self.features
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():

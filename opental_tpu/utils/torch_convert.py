@@ -220,13 +220,22 @@ def align_bn_collections(loaded: Dict[str, Dict[str, Any]],
                 continue
             if (set(v) >= {'scale', 'bias'} and isinstance(con.get(k), dict)
                     and 'mean' in con[k]):
-                sub = par.setdefault(k, {})
+                sub = par.get(k, {})
+                moved = False
                 for leaf in ('scale', 'bias'):
                     if leaf in con[k] and leaf not in sub:
                         sub[leaf] = con[k].pop(leaf)
-            else:
-                rec(v, par.setdefault(k, {}) if k in par or k in con
-                    else {}, con.get(k, {}))
+                        moved = True
+                if moved or k in par:
+                    par[k] = sub
+            elif k in par or k in con:
+                # recurse into a detached node and only attach it if the
+                # recursion actually moved something — never grow empty
+                # dict nodes along constants-only paths
+                sub = par.get(k, {})
+                rec(v, sub, con.get(k, {}))
+                if sub or k in par:
+                    par[k] = sub
 
     rec(params_template, out['params'], out['constants'])
     return out

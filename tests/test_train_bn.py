@@ -155,8 +155,19 @@ def test_align_bn_collections():
     assert set(bn_p) == {'scale', 'bias'}
     np.testing.assert_array_equal(bn_p['scale'], np.full(3, 2.0))
     assert set(out['constants']['backbone']['s']['bn']) == {'mean', 'var'}
-    # frozen template: nothing moves
+    # frozen template: nothing moves, and no empty dict nodes are grown
+    # into 'params' along constants-only paths
     out2 = align_bn_collections(loaded, {'backbone': {'s': {
         'conv': {'kernel': np.ones(2)}}}})
     assert set(out2['constants']['backbone']['s']['bn']) == {
         'scale', 'bias', 'mean', 'var'}
+    assert set(out2['params']['backbone']['s']) == {'conv'}
+    # a template branch with BN affine but a constants-only tree (no
+    # params counterpart at all) must not leave empty nodes behind
+    loaded3 = {'params': {},
+               'constants': {'only': {'bn': {'mean': np.zeros(3),
+                                             'var': np.ones(3)}}}}
+    out3 = align_bn_collections(
+        loaded3, {'only': {'bn': {'scale': np.ones(3),
+                                  'bias': np.zeros(3)}}})
+    assert out3['params'] == {}
