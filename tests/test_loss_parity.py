@@ -159,3 +159,114 @@ def test_actionness(seed, pos_rate):
                                      rank_weight=0.1)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
     assert int(got_count) == int(want_count)
+
+
+@pytest.mark.parametrize('evidence', ['relu', 'softplus'])
+def test_edl_evidence_variants(evidence):
+    """relu / softplus evidence transforms (cls_loss.py:182-190) — the
+    shipped configs use exp; these cover the other two ablation values."""
+    from AFSD.thumos14.cls_loss import EvidenceLoss
+    logits, target = rand_case(10)
+    ref = EvidenceLoss(15, {'loss_type': 'log', 'evidence': evidence})
+    want = float(ref(torch.from_numpy(logits),
+                     torch.from_numpy(target).view(-1, 1)))
+    cfg = EDLConfig(num_classes=15, loss_type='log', evidence=evidence)
+    got, _ = evidence_loss(cfg, jnp.asarray(logits), jnp.asarray(target),
+                           jnp.ones(len(target), bool),
+                           EDLState.create(cfg), jnp.asarray(0))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5)
+
+
+@pytest.mark.parametrize('momentum', [0.75, 0.0])
+def test_edl_ghm_state_and_loss_two_steps(momentum):
+    """GHM weighting (cls_loss.py:228-249): per-element grad-norm bins,
+    1/acc_sum (or 1/count at momentum 0) weights normalized by the valid
+    bin count, with acc_sum EMA evolving across steps."""
+    from AFSD.thumos14.cls_loss import EvidenceLoss
+    ref = EvidenceLoss(15, {'loss_type': 'log', 'evidence': 'exp',
+                            'with_ghm': True, 'ghm_start': 0,
+                            'momentum': momentum, 'num_bins': 50})
+    ref.epoch = 5
+    cfg = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    with_ghm=True, ghm_start=0, momentum=momentum,
+                    num_bins=50)
+    state = EDLState.create(cfg)
+    for seed in (11, 12):
+        logits, target = rand_case(seed)
+        want = float(ref(torch.from_numpy(logits),
+                         torch.from_numpy(target).view(-1, 1)))
+        got, state = evidence_loss(cfg, jnp.asarray(logits),
+                                   jnp.asarray(target),
+                                   jnp.ones(len(target), bool), state,
+                                   jnp.asarray(5))
+        np.testing.assert_allclose(float(got), want, rtol=2e-4)
+        if momentum > 0:
+            np.testing.assert_allclose(np.asarray(state.acc_sum),
+                                       np.asarray(ref.acc_sum), rtol=2e-5)
+
+
+def test_edl_ghm_before_start_is_plain_and_frozen():
+    """epoch < ghm_start: the reference falls through to the unweighted
+    loss and acc_sum stays untouched (cls_loss.py:228)."""
+    from AFSD.thumos14.cls_loss import EvidenceLoss
+    logits, target = rand_case(13)
+    ref = EvidenceLoss(15, {'loss_type': 'log', 'evidence': 'exp',
+                            'with_ghm': True, 'ghm_start': 10,
+                            'momentum': 0.75, 'num_bins': 50})
+    ref.epoch = 3
+    want = float(ref(torch.from_numpy(logits),
+                     torch.from_numpy(target).view(-1, 1)))
+    cfg = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    with_ghm=True, ghm_start=10, momentum=0.75,
+                    num_bins=50)
+    state0 = EDLState.create(cfg)
+    got, state = evidence_loss(cfg, jnp.asarray(logits),
+                               jnp.asarray(target),
+                               jnp.ones(len(target), bool), state0,
+                               jnp.asarray(3))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(state.acc_sum),
+                                  np.asarray(state0.acc_sum))
+
+
+@pytest.mark.parametrize('epoch', [12, 3])
+def test_edl_ibloss(epoch):
+    """IB loss (cls_loss.py:250-256): 1/(grad_norm * detached feat L1)
+    row weights after ib_start, plain before."""
+    from AFSD.thumos14.cls_loss import EvidenceLoss
+    logits, target = rand_case(14)
+    ref = EvidenceLoss(15, {'loss_type': 'log', 'evidence': 'exp',
+                            'with_ibloss': True})
+    ref.epoch = epoch
+    want = float(ref(torch.from_numpy(logits),
+                     torch.from_numpy(target).view(-1, 1)))
+    cfg = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    with_ibloss=True, ib_start=10)
+    got, _ = evidence_loss(cfg, jnp.asarray(logits), jnp.asarray(target),
+                           jnp.ones(len(target), bool),
+                           EDLState.create(cfg), jnp.asarray(epoch))
+    np.testing.assert_allclose(float(got), want, rtol=2e-4)
+
+
+def test_edl_ghm_masked_rows_match_gathered():
+    """GHM bin counts must come from valid rows only."""
+    from AFSD.thumos14.cls_loss import EvidenceLoss
+    rng = np.random.RandomState(15)
+    logits = rng.randn(300, 15).astype(np.float32)
+    target = rng.randint(0, 15, 300)
+    keep = rng.rand(300) > 0.6
+    ref = EvidenceLoss(15, {'loss_type': 'log', 'evidence': 'exp',
+                            'with_ghm': True, 'ghm_start': 0,
+                            'momentum': 0.75, 'num_bins': 50})
+    ref.epoch = 5
+    want = float(ref(torch.from_numpy(logits[keep]),
+                     torch.from_numpy(target[keep]).view(-1, 1)))
+    cfg = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
+                    with_ghm=True, ghm_start=0, momentum=0.75,
+                    num_bins=50)
+    got, state = evidence_loss(cfg, jnp.asarray(logits),
+                               jnp.asarray(target), jnp.asarray(keep),
+                               EDLState.create(cfg), jnp.asarray(5))
+    np.testing.assert_allclose(float(got), want, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(state.acc_sum),
+                               np.asarray(ref.acc_sum), rtol=2e-5)
