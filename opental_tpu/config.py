@@ -148,6 +148,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--ssl', type=float, default=None)
     p.add_argument('--piou', type=float, default=None)
     p.add_argument('--resume', type=int, default=None)
+    # data-parallel training over all visible devices (jax Mesh; the
+    # reference analog is its default DataParallel wrap, train.py:316)
+    p.add_argument('--use_mesh', action='store_true', default=None)
     p.add_argument('--fusion', action='store_true')
     p.add_argument('--open_set', action='store_true')
     p.add_argument('--split', type=int, choices=[0, 1, 2, 3, 4], default=0)
@@ -182,10 +185,11 @@ def config_from_namespace(args) -> Config:
         'lw': 'training.lw', 'cw': 'training.cw', 'ctw': 'training.ctw',
         'actw': 'training.actw', 'ssl': 'training.ssl',
         'piou': 'training.piou', 'resume': 'training.resume',
+        'use_mesh': 'training.use_mesh',
         'exp_tag': 'testing.exp_tag',
     }
     for k, dotted in simple.items():
-        v = getattr(args, k)
+        v = getattr(args, k, None)
         if v is not None:
             overrides[dotted] = v
     if args.checkpoint_path is not None:

@@ -6,12 +6,16 @@ Command-surface parity with the reference entry
 
 from __future__ import annotations
 
-from opental_tpu.config import config_from_args
+from opental_tpu.config import build_arg_parser, config_from_namespace
 from opental_tpu.train.loop import train
 
 
 def main(argv=None) -> None:
-    cfg = config_from_args(argv)
+    parser = build_arg_parser()
+    # smoke-run bound (no reference analog; 0 = full epochs)
+    parser.add_argument('--max_steps_per_epoch', type=int, default=None)
+    args = parser.parse_args(argv)
+    cfg = config_from_namespace(args)
     tr = cfg.training
     print('batch size: ', tr.get('batch_size'))
     print('learning rate: ', tr.get('learning_rate'))
@@ -24,7 +28,8 @@ def main(argv=None) -> None:
     print('ssl weight: ', tr.get('ssl'))
     print('piou:', tr.get('piou'))
     print('resume: ', tr.get('resume'))
-    train(cfg)
+    print('use_mesh: ', tr.get('use_mesh', False))
+    train(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
 
 
 if __name__ == '__main__':

@@ -99,7 +99,7 @@ def init_state(cfg: Config, model, tx, rng_key,
 
 
 def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
-          use_mesh: bool = False, log_every: int = 20,
+          use_mesh: Optional[bool] = None, log_every: int = 20,
           prefetch_depth: int = 2) -> TrainState:
     """Full training run from a reference-schema Config.
 
@@ -107,8 +107,14 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
     ahead on a background thread (the reference's DataLoader-worker
     analog, train.py:345), and metrics are fetched from device only
     every `log_every` steps so the step loop never blocks on host sync.
+
+    use_mesh=None reads `training.use_mesh` from the config (CLI flag
+    --use_mesh); True shards the batch axis over all visible devices
+    (the reference's default DataParallel wrap, train.py:316).
     """
     tr = cfg.training
+    if use_mesh is None:
+        use_mesh = bool(tr.get('use_mesh', False))
     clip_length = cfg.get_path('dataset.training.clip_length', 256)
     crop_size = cfg.get_path('dataset.training.crop_size', 96)
     batch_size = tr.get('batch_size', 1)
