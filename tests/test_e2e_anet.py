@@ -79,3 +79,81 @@ def test_anet_train_test_threshold_eval(tmp_path):
     for vid, props in bin_payload['results'].items():
         want = classes[int(np.argmax(cls_data['results'][vid]))]
         assert all(p['label'] == want for p in props), vid
+
+
+@pytest.mark.slow
+def test_anet_fusion_e2e(tmp_path):
+    """RGB+flow fusion through the ANet driver (testing.fusion: true):
+    builds a second 2-channel flow model, averages every head per video
+    window, and writes ActivityNet-format JSON — the synthetic-data
+    regression guard for AFSD/anet/test_fusion.py:1-262 semantics."""
+    from opental_tpu import factory
+    from opental_tpu.config import load_config
+    from opental_tpu.losses.edl import EDLState
+    from opental_tpu.tools.test_anet import run_test_anet
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.step import TrainState, make_optimizer
+
+    root = str(tmp_path / 'synth_anet')
+    clip, crop = 256, 32
+    from opental_tpu.utils.synthetic import make_synthetic_anet_dataset
+    cfg_path = make_synthetic_anet_dataset(root, clip_length=clip,
+                                           crop_size=crop)
+    cfg = load_config(cfg_path)
+    edl_cfg = factory.build_loss_config(cfg).edl
+
+    def save_ckpt(model, path, channels, seed):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed),
+            np.zeros((1, clip, crop, crop, channels), np.float32))
+        tx = make_optimizer(1e-4, 1e-4)
+        state = TrainState(params=variables['params'],
+                           constants=variables['constants'],
+                           opt_state=tx.init(variables['params']),
+                           edl_state=(EDLState.create(edl_cfg)
+                                      if edl_cfg else None))
+        ckpt.save(path, 1, state, jax.random.PRNGKey(seed))
+
+    rgb_model = factory.build_model(cfg, frame_num=clip)
+    assert rgb_model.arch == 'anet'
+    save_ckpt(rgb_model, cfg.training['checkpoint_path'], 3, 0)
+    flow_ckpt_dir = os.path.join(root, 'flow_ckpts')
+    flow_model = factory.build_model(cfg, frame_num=clip, in_channels=2)
+    assert flow_model.in_channels == 2
+    save_ckpt(flow_model, flow_ckpt_dir, 2, 1)
+
+    # synthetic 2-channel flow npys for the validation videos
+    npy_dir = cfg.get_path('dataset.testing.video_mp4_path')
+    flow_dir = os.path.join(root, 'flow_npy')
+    os.makedirs(flow_dir, exist_ok=True)
+    rng = np.random.RandomState(7)
+    for name in os.listdir(npy_dir):
+        t = np.load(os.path.join(npy_dir, name)).shape[0]
+        np.save(os.path.join(flow_dir, name),
+                rng.randint(0, 255, (t, crop, crop, 2), dtype=np.uint8))
+
+    out_rgb = run_test_anet(cfg, video_batch=2)
+    rgb_payload = json.load(open(out_rgb))
+
+    cfg.testing['fusion'] = True
+    cfg.testing['flow_checkpoint_path'] = os.path.join(
+        flow_ckpt_dir, 'checkpoint-latest')
+    cfg.testing['flow_data_path'] = flow_dir
+    cfg.testing['output_json'] = 'fused_anet.json'
+    out_path = run_test_anet(cfg, video_batch=2)
+    payload = json.load(open(out_path))
+
+    assert payload['version'] == 'ActivityNet-v1.3'
+    assert set(payload['results']) == set(rgb_payload['results'])
+    fused_props = sum(len(v) for v in payload['results'].values())
+    assert fused_props > 0
+    for props in payload['results'].values():
+        for p in props:
+            assert np.isfinite(p['score']) and len(p['segment']) == 2
+            assert np.isfinite(p['uncertainty'])
+
+    # the flow stream must actually move the fused heads
+    def score_map(payload):
+        return {v: tuple(round(p['score'], 6) for p in props)
+                for v, props in payload['results'].items()}
+    assert score_map(payload) != score_map(rgb_payload)
