@@ -58,6 +58,10 @@ def build_model(cfg: Config, frame_num: Optional[int] = None,
     # default off — see BASELINE.md trunk/stem A/B):
     flags['trunk_tfold'] = bool(cfg.get_path('model.trunk_tfold', False))
     flags['stem_pallas'] = bool(cfg.get_path('model.stem_pallas', False))
+    # model.remat: true rematerializes backbone blocks in the backward
+    # pass — trades one forward recompute for activation memory, for
+    # large-batch training (see BASELINE.md train scaling)
+    flags['remat'] = bool(cfg.get_path('model.remat', False))
     return BDNet(frame_num=frame, deterministic=deterministic, dtype=dtype,
                  **flags)
 

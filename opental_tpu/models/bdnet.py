@@ -68,6 +68,7 @@ class BDNet(nn.Module):
     deterministic: bool = True
     trunk_tfold: bool = False    # trunk 3x3x3 convs via temporal fold
     stem_pallas: bool = False    # stem pack via Pallas kernel (TPU only)
+    remat: bool = False          # backbone block rematerialization
     freeze_bn: bool = True       # thumos14/BDNet.py:39-49 freeze modes
     freeze_bn_affine: bool = True
     dtype: Any = None            # compute dtype (e.g. jnp.bfloat16)
@@ -80,6 +81,7 @@ class BDNet(nn.Module):
     def setup(self):
         self.backbone = InceptionI3d(
             dtype=self.dtype, trunk_tfold=self.trunk_tfold,
+            remat=self.remat,
             stem_pallas=self.stem_pallas, freeze_bn=self.freeze_bn,
             freeze_bn_affine=self.freeze_bn_affine,
             bn_train=not self.freeze_bn and not self.deterministic)

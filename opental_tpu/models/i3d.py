@@ -132,6 +132,11 @@ class InceptionI3d(nn.Module):
     freeze_bn: bool = True
     freeze_bn_affine: bool = True
     bn_train: bool = False
+    # rematerialize each block in the backward pass: activation memory
+    # drops from every conv intermediate to the endpoint outputs only,
+    # letting the train step scale past the bs=16 f32 HBM wall at the
+    # cost of one extra forward recompute per block
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -144,27 +149,36 @@ class InceptionI3d(nn.Module):
                      bn_train=self.bn_train)
         kw = dict(use_batch_norm=True, use_bias=False, dtype=self.dtype,
                   **bn_kw)
+        if self.remat:
+            # lifted transforms keep module names, so param/constants
+            # trees are identical with remat on or off
+            StemM, UnitM, IncM = (nn.remat(Stem, prevent_cse=False),
+                                  nn.remat(Unit3D, prevent_cse=False),
+                                  nn.remat(InceptionModule,
+                                           prevent_cse=False))
+        else:
+            StemM, UnitM, IncM = Stem, Unit3D, InceptionModule
         for ep in ENDPOINTS:
             if ep == 'Conv3d_1a_7x7':
                 if self.s2d_stem:
-                    x = Stem(64, dtype=self.dtype,
-                             use_pallas=self.stem_pallas, name=ep,
-                             **bn_kw)(x)
+                    x = StemM(64, dtype=self.dtype,
+                              use_pallas=self.stem_pallas, name=ep,
+                              **bn_kw)(x)
                 else:
-                    x = Unit3D(64, kernel=(7, 7, 7), stride=(2, 2, 2),
-                               name=ep, **kw)(x)
+                    x = UnitM(64, kernel=(7, 7, 7), stride=(2, 2, 2),
+                              name=ep, **kw)(x)
             elif ep == 'Conv3d_2b_1x1':
-                x = Unit3D(64, kernel=(1, 1, 1), name=ep, **kw)(x)
+                x = UnitM(64, kernel=(1, 1, 1), name=ep, **kw)(x)
             elif ep == 'Conv3d_2c_3x3':
-                x = Unit3D(192, kernel=(3, 3, 3), name=ep,
-                           fold_temporal=self.trunk_tfold, **kw)(x)
+                x = UnitM(192, kernel=(3, 3, 3), name=ep,
+                          fold_temporal=self.trunk_tfold, **kw)(x)
             elif ep in MAXPOOL_SPECS:
                 kernel, stride = MAXPOOL_SPECS[ep]
                 x = max_pool_3d_same(x, kernel, stride)
             else:
-                x = InceptionModule(INCEPTION_SPECS[ep], name=ep,
-                                    fold_temporal=self.trunk_tfold,
-                                    dtype=self.dtype, **bn_kw)(x)
+                x = IncM(INCEPTION_SPECS[ep], name=ep,
+                         fold_temporal=self.trunk_tfold,
+                         dtype=self.dtype, **bn_kw)(x)
             if ep in keep:
                 out[ep] = x
             if ep == self.final_endpoint:

@@ -41,6 +41,32 @@ def tiny_train_batch(batch_size: int, frame: int = 128, crop: int = 32,
     }
 
 
+def device_train_batch(batch_size: int, frame: int = 256, crop: int = 96,
+                       seed: int = 0) -> Dict[str, 'np.ndarray']:
+    """tiny_train_batch with the two big video tensors generated ON
+    DEVICE (jit'd jax.random): a bs=16 f32 batch is 3.6 GB, which costs
+    minutes through the ~20-50 MB/s axon tunnel and nothing on a real
+    host link. Content is irrelevant to step timing; the small GT/score
+    tensors still come from the host so the loss sees valid targets."""
+    import jax
+    import jax.numpy as jnp
+    # crop=2: only the (dropped) clip tensors depend on crop — avoids
+    # generating GBs of host-side noise that would be thrown away
+    small = tiny_train_batch(batch_size, frame, 2, seed)
+    big = jax.jit(lambda: {
+        'clips': jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (batch_size, frame, crop, crop, 3), jnp.float32),
+        'ssl_clips': jax.random.normal(
+            jax.random.PRNGKey(seed + 1),
+            (batch_size, frame, crop, crop, 3), jnp.float32),
+    })()
+    out = {k: jnp.asarray(v) for k, v in small.items()
+           if k not in ('clips', 'ssl_clips')}
+    out.update(big)
+    return out
+
+
 def make_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                            clip_length: int = 128, crop_size: int = 32,
                            spatial: int = 40, num_known: int = 4,
