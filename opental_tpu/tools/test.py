@@ -90,11 +90,17 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         use_edl=flags['use_edl'], os_head=flags['os_head'],
         use_gcpl=use_gcpl, evidence=flags['evidence'],
         flow_model=flow_model, flow_variables=flow_vars,
-        # testing.device_nms: true -> fused on-device post-processing
-        # (top-k preselect + vmapped soft-NMS, one call per video);
-        # testing.device_ingest: true -> ship raw uint8 video, window +
-        # normalize on device (8x fewer host->device bytes)
-        device_post=te.get('device_nms', False),
+        # testing.device_nms (default TRUE since round 3) -> fused
+        # on-device post-processing (per-class top-k preselect + vmapped
+        # soft-NMS, one call per video; composed-parity-guarded in
+        # tests/test_composed_parity.py level 1b). Set false for the
+        # byte-exact reference host path — the only semantic difference
+        # is the per-class candidate preselect bound (n_candidates,
+        # default 2048; the host path has no bound). device_ingest:
+        # ship raw uint8 video, window + normalize on device (4x fewer
+        # host->device bytes)
+        device_post=te.get('device_nms', True),
+        n_candidates=te.get('n_candidates', 2048),
         device_ingest=te.get('device_ingest', False))
 
     video_infos = get_video_info(
