@@ -151,11 +151,13 @@ class InceptionI3d(nn.Module):
                   **bn_kw)
         if self.remat:
             # lifted transforms keep module names, so param/constants
-            # trees are identical with remat on or off
-            StemM, UnitM, IncM = (nn.remat(Stem, prevent_cse=False),
-                                  nn.remat(Unit3D, prevent_cse=False),
-                                  nn.remat(InceptionModule,
-                                           prevent_cse=False))
+            # trees are identical with remat on or off. prevent_cse must
+            # stay True (the default): under plain jit, XLA's CSE
+            # otherwise merges the recomputation back into the saved
+            # forward and the memory saving evaporates (observed: bs=16
+            # still OOMed with prevent_cse=False).
+            StemM, UnitM, IncM = (nn.remat(Stem), nn.remat(Unit3D),
+                                  nn.remat(InceptionModule))
         else:
             StemM, UnitM, IncM = Stem, Unit3D, InceptionModule
         for ep in ENDPOINTS:

@@ -54,7 +54,9 @@ def main():
                      cls_type='edl', edl=edl, os_head=True, act_weight=0.1)
     tx = make_optimizer(1e-5, 1e-3)
 
-    for bs in sizes:
+    def run_one(bs):
+        # a helper frame: its device buffers (batch/state/compiled
+        # executable) free on return — leftovers across sizes OOM bs>=16
         batch = device_train_batch(bs, CLIP, CROP)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                         batch['clips'][:1])
@@ -64,27 +66,31 @@ def main():
                            edl_state=EDLState.create(edl))
         step_fn = make_train_step(model, cfg, LossWeights(), tx)
         epoch = jnp.asarray(11)
-        try:
-            compiled = jax.jit(step_fn).lower(state, batch,
-                                              epoch).compile()
-            cost = compiled.cost_analysis()
-            flops = (cost or {}).get('flops', 0.0)
+        compiled = jax.jit(step_fn).lower(state, batch, epoch).compile()
+        cost = compiled.cost_analysis()
+        flops = (cost or {}).get('flops', 0.0)
+        state, metrics = compiled(state, batch, epoch)
+        float(metrics['cost'])
+        n = 8
+        t0 = time.perf_counter()
+        for _ in range(n):
             state, metrics = compiled(state, batch, epoch)
-            float(metrics['cost'])
-            n = 8
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, metrics = compiled(state, batch, epoch)
-            float(metrics['cost'])
-            dt = (time.perf_counter() - t0) / n
-            mfu = flops / dt / peak if flops else float('nan')
-            print(f'bs={bs:2d}: {dt*1000:7.1f} ms/step = '
-                  f'{bs/dt:6.2f} clips/s  '
-                  f'({flops/1e12:.2f} TFLOP/step, MFU {mfu:5.1%})',
-                  flush=True)
+        float(metrics['cost'])
+        dt = (time.perf_counter() - t0) / n
+        mfu = flops / dt / peak if flops else float('nan')
+        print(f'bs={bs:2d}: {dt*1000:7.1f} ms/step = '
+              f'{bs/dt:6.2f} clips/s  '
+              f'({flops/1e12:.2f} TFLOP/step, MFU {mfu:5.1%})',
+              flush=True)
+
+    import gc
+    for bs in sizes:
+        gc.collect()
+        try:
+            run_one(bs)
         except Exception as e:  # noqa: BLE001 - OOM/compile failures
             print(f'bs={bs:2d}: FAILED {type(e).__name__}: '
-                  f'{str(e)[:200]}', flush=True)
+                  f'{str(e)[:3000]}', flush=True)
 
 
 if __name__ == '__main__':
