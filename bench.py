@@ -10,7 +10,9 @@ scripts/bench_w_sweep.py): 32/64/96/128 -> 300/310/363/419 clips/s;
 W=160 OOMs v5e HBM, so 128 is the chip's sweet spot. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
 64-window synthetic video. The train phase times the full OpenTAL-final
-jitted train step (EDL-MIB + PU actionness + SSL triplet) at batch 1.
+jitted train step (EDL-MIB + PU actionness + SSL triplet) at its
+measured-best config (bs=8, bf16 convs, f32 params — round-3 sweep) and
+reports train MFU from the compiled step's XLA cost analysis.
 
 Measurement notes: through the axon TPU tunnel, jax.block_until_ready
 returns before the device finishes, so each iteration is serialized by a
@@ -109,19 +111,24 @@ def bench_e2e(model, variables, device_post, device_ingest=False):
     return 64 / dt, len(props)
 
 
-def bench_train():
-    """Full OpenTAL-final train step at batch 1 (f32 params, 256-frame),
-    the BASELINE.md train protocol."""
+def bench_train(batch_size=8):
+    """Full OpenTAL-final train step at the measured-best configuration
+    (round-3 sweep, scripts/bench_train_batch.py): batch 8, bf16 conv
+    stack, f32 params, no remat — bs=12/16 OOM without remat, and with
+    remat (model.remat) the ~37% recompute tax outweighs batch scaling
+    because MFU plateaus at ~20.5% from bs=8 on (backward-conv bound;
+    BASELINE.md "train ceiling"). Returns (clips/s, train MFU) with MFU
+    from the COMPILED step's XLA cost analysis — honest total executed
+    FLOPs including the SSL second backbone pass."""
     from opental_tpu.losses.edl import EDLConfig, EDLState
     from opental_tpu.losses.multisegment import LossConfig
     from opental_tpu.train.step import (LossWeights, TrainState,
                                         make_optimizer, make_train_step)
-    from opental_tpu.utils.synthetic import tiny_train_batch
+    from opental_tpu.utils.synthetic import device_train_batch
 
     model = BDNet(num_classes=16, os_head=True, use_edl=True,
-                  frame_num=CLIP)
-    batch = {k: jnp.asarray(v)
-             for k, v in tiny_train_batch(1, CLIP, CROP).items()}
+                  frame_num=CLIP, dtype=jnp.bfloat16)
+    batch = device_train_batch(batch_size, CLIP, CROP)
     edl = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
                     iou_aware=True, with_ibm=True, ibm_start=10)
     cfg = LossConfig(num_classes=15, clip_length=CLIP, piou=0.5,
@@ -136,16 +143,19 @@ def bench_train():
                        edl_state=EDLState.create(edl))
     step = jax.jit(make_train_step(model, cfg, LossWeights(), tx))
     epoch = jnp.asarray(11)
+    compiled = step.lower(state, batch, epoch).compile()
+    step_flops = (compiled.cost_analysis() or {}).get('flops', 0.0)
 
-    state, metrics = step(state, batch, epoch)   # compile + warm
+    state, metrics = compiled(state, batch, epoch)   # warm
     float(metrics['cost'])
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
-        state, metrics = step(state, batch, epoch)  # state chains deps
+        state, metrics = compiled(state, batch, epoch)  # state chains
     float(metrics['cost'])
     dt = (time.perf_counter() - t0) / n
-    return 1.0 / dt  # clips/sec at bs=1
+    mfu = step_flops / dt / V5E_PEAK_BF16 if step_flops else 0.0
+    return batch_size / dt, mfu
 
 
 def check_pallas_vs_xla():
@@ -188,7 +198,7 @@ def main():
     e2e_host, _ = bench_e2e(model, variables, device_post=False)
     e2e_device, _ = bench_e2e(model, variables, device_post=True,
                               device_ingest=True)
-    train_clips_per_sec = bench_train()
+    train_clips_per_sec, train_mfu = bench_train()
 
     print(json.dumps({
         'metric': 'thumos14_256f_inference_throughput',
@@ -199,6 +209,8 @@ def main():
         'e2e_clips_per_sec_host_nms': round(e2e_host, 2),
         'e2e_clips_per_sec_device_pipeline': round(e2e_device, 2),
         'train_clips_per_sec': round(train_clips_per_sec, 3),
+        'train_config': 'bs8_bf16',
+        'train_mfu': round(train_mfu, 4),
         'pallas_vs_xla': pallas_check,
     }))
 
