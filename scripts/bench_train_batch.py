@@ -42,12 +42,14 @@ def arg(flag, default=None):
 def main():
     bf16 = '--bf16' in sys.argv
     remat = '--remat' in sys.argv
+    tfold = '--tfold' in sys.argv
     sizes = [int(b) for b in (arg('--bs') or '1,8,16').split(',')]
     model = BDNet(num_classes=16, os_head=True, use_edl=True,
-                  frame_num=CLIP, remat=remat,
+                  frame_num=CLIP, remat=remat, trunk_tfold=tfold,
                   dtype=jnp.bfloat16 if bf16 else None)
     peak = V5E_PEAK_BF16 if bf16 else V5E_PEAK_F32
-    print(f'dtype={"bf16" if bf16 else "f32"} remat={remat}', flush=True)
+    print(f'dtype={"bf16" if bf16 else "f32"} remat={remat} '
+          f'tfold={tfold}', flush=True)
     edl = EDLConfig(num_classes=15, loss_type='log', evidence='exp',
                     iou_aware=True, with_ibm=True, ibm_start=10)
     cfg = LossConfig(num_classes=15, clip_length=CLIP, piou=0.5,
