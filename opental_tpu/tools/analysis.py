@@ -284,6 +284,104 @@ def distribution_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
     return written
 
 
+def per_class_buckets(cfg, cache_dir: str, gt_json: str, cls_idx: str,
+                      target: str = 'uncertainty',
+                      max_videos: Optional[int] = None
+                      ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Per-CLASS prior-level values at both stages: a known prior is
+    attributed to the class of its (first) containing GT segment.
+    Extends stage_buckets' known bucket with class identity (per-class
+    per-stage depth of draw_distribution.py's figure families).
+    Returns {stage: {class_name: values}}."""
+    from opental_tpu.data.thumos import get_video_info
+
+    video_infos = get_video_info(
+        cfg.get_path('dataset.testing.video_info_path'))
+    clip_length = cfg.get_path('dataset.testing.clip_length', 256)
+    use_edl = cfg.get_path('model.use_edl', False)
+    known = _known_names(cls_idx)
+    with open(gt_json) as f:
+        database = json.load(f)['database']
+
+    out = {s: {c: [] for c in known} for s in ('coarse', 'refined')}
+    names = [n for n in list(video_infos)[:max_videos]
+             if os.path.exists(os.path.join(cache_dir, n + '.npz'))]
+    for name in names:
+        segs_by_cls: Dict[str, list] = {}
+        for ann in database.get(name, {}).get('annotations', []):
+            if ann['label'] in out['coarse']:
+                segs_by_cls.setdefault(ann['label'], []).append(
+                    (float(ann['segment'][0]), float(ann['segment'][1])))
+        if not segs_by_cls:
+            continue
+        z = np.load(os.path.join(cache_dir, name + '.npz'))
+        fps = float(z['sample_fps'])
+        centers = z['priors'][:, 0] * clip_length
+        for w, off in enumerate(z['offsets']):
+            abs_c = centers + off
+            vals = {s: _stage_values(z, w, s, target, use_edl)
+                    for s in ('coarse', 'refined')}
+            for cls_name, segs in segs_by_cls.items():
+                seg = np.array([(s * fps, e * fps) for s, e in segs],
+                               np.float32).reshape(-1, 2)
+                m = ((abs_c[:, None] >= seg[None, :, 0])
+                     & (abs_c[:, None] <= seg[None, :, 1])).any(1)
+                if m.any():
+                    for s in ('coarse', 'refined'):
+                        out[s][cls_name].append(vals[s][m])
+    return {s: {c: (np.concatenate(v) if v else np.zeros(0))
+                for c, v in cs.items()} for s, cs in out.items()}
+
+
+def per_class_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
+                     out_dir: str, target: str = 'uncertainty',
+                     max_videos: Optional[int] = None) -> List[str]:
+    """Per-class per-stage distribution grid
+    (dist_<stage>_per_class.png: one histogram panel per known class)
+    plus a machine-readable summary CSV (per_class_stats.csv: class,
+    stage, count, mean, std, p05, p95)."""
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = per_class_buckets(cfg, cache_dir, gt_json, cls_idx,
+                                target, max_videos)
+    written = []
+    for stage in ('coarse', 'refined'):
+        classes = [c for c in buckets[stage] if len(buckets[stage][c])]
+        if not classes:
+            continue
+        cols = min(4, len(classes))
+        rows = (len(classes) + cols - 1) // cols
+        fig, axes = plt.subplots(rows, cols,
+                                 figsize=(3.2 * cols, 2.4 * rows),
+                                 squeeze=False)
+        for i, cls_name in enumerate(classes):
+            ax = axes[i // cols][i % cols]
+            v = buckets[stage][cls_name]
+            ax.hist(v, bins=30, color='steelblue', density=True)
+            ax.set_title(f'{cls_name} (n={len(v)})', fontsize=8)
+        for j in range(len(classes), rows * cols):
+            axes[j // cols][j % cols].axis('off')
+        fig.suptitle(f'{target} per class — {stage} stage')
+        fig.tight_layout()
+        path = os.path.join(out_dir, f'dist_{stage}_per_class.png')
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(path)
+    csv_path = os.path.join(out_dir, 'per_class_stats.csv')
+    with open(csv_path, 'w') as f:
+        f.write('class,stage,count,mean,std,p05,p95\n')
+        for stage, cs in buckets.items():
+            for cls_name, v in cs.items():
+                if len(v):
+                    f.write(f'{cls_name},{stage},{len(v)},{v.mean():.6f},'
+                            f'{v.std():.6f},{np.percentile(v, 5):.6f},'
+                            f'{np.percentile(v, 95):.6f}\n')
+                else:
+                    f.write(f'{cls_name},{stage},0,,,,\n')
+    written.append(csv_path)
+    return written
+
+
 def actionness_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
                       out_dir: str) -> List[str]:
     """The analyze_actionness.py figure set (:362-426): 3-bucket
@@ -476,7 +574,7 @@ def main(argv=None) -> None:
     s4.add_argument('--ood_scoring', default='uncertainty')
     s4.add_argument('--tiou', type=float, default=0.3)
     s4.add_argument('--out_dir', default='figures')
-    for name in ('distribution', 'actionness'):
+    for name in ('distribution', 'actionness', 'per_class'):
         s = sub.add_parser(name)
         s.add_argument('config_file')
         s.add_argument('--gt_json', required=True)
@@ -488,8 +586,9 @@ def main(argv=None) -> None:
         s.add_argument('--open_set', action='store_true')
         s.add_argument('--split', type=int, default=0)
         s.add_argument('--max_videos', type=int, default=None)
-        if name == 'distribution':
+        if name in ('distribution', 'per_class'):
             s.add_argument('--ood_scoring', default='uncertainty')
+        if name == 'distribution':
             s.add_argument('--pred_json', default=None)
     args = p.parse_args(argv)
 
@@ -511,7 +610,7 @@ def main(argv=None) -> None:
         for w in stats_report(named, args.gt_json, args.cls_idx,
                               args.out_dir, args.ood_scoring, args.tiou):
             print('wrote', w)
-    elif args.cmd in ('distribution', 'actionness'):
+    elif args.cmd in ('distribution', 'actionness', 'per_class'):
         from opental_tpu.config import load_config
         from opental_tpu.tools.search_param import cache_raw_outputs
         cfg = load_config(args.config_file, open_set=args.open_set,
@@ -523,6 +622,10 @@ def main(argv=None) -> None:
             written = distribution_report(
                 cfg, cache_dir, args.gt_json, args.cls_idx, args.out_dir,
                 target=args.ood_scoring, pred_json=args.pred_json)
+        elif args.cmd == 'per_class':
+            written = per_class_report(
+                cfg, cache_dir, args.gt_json, args.cls_idx, args.out_dir,
+                target=args.ood_scoring, max_videos=args.max_videos)
         else:
             written = actionness_report(cfg, cache_dir, args.gt_json,
                                         args.cls_idx, args.out_dir)

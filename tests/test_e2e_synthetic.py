@@ -89,7 +89,18 @@ def test_train_test_eval_workflow(tmp_path):
                                   target='uncertainty',
                                   pred_json=out_path)
     written += actionness_report(cfg, cache_dir, gt, cls_idx, fig_dir)
-    assert all(os.path.exists(w) for w in written) and len(written) >= 10
+    from opental_tpu.tools.analysis import per_class_report
+    pc = per_class_report(cfg, cache_dir, gt, cls_idx, fig_dir,
+                          target='uncertainty')
+    written += pc
+    # per-class depth: the summary CSV carries a row per (class, stage)
+    csv_path = [w for w in pc if w.endswith('per_class_stats.csv')][0]
+    with open(csv_path) as f:
+        rows = [ln.split(',') for ln in f.read().splitlines()[1:]]
+    stages = {r[1] for r in rows}
+    assert stages == {'coarse', 'refined'}
+    assert any(int(r[2]) > 0 for r in rows), 'no class got any priors'
+    assert all(os.path.exists(w) for w in written) and len(written) >= 12
 
 
 @pytest.mark.slow
