@@ -109,17 +109,49 @@ class BDNet(nn.Module):
             out['prop_conf_feat'] = out['prop_ctr_feat']
         return out
 
-    def ssl_forward(self, x: Array, proposals: Array
-                    ) -> Tuple[list, list, list]:
-        """Boundary-contrastive features for the SSL triplet loss.
+    def train_forward(self, x: Array, ssl_x: Array, proposals: Array
+                      ) -> Tuple[Dict[str, Any], Tuple[list, list, list]]:
+        """Fused main + SSL forward: ONE backbone pass over the
+        concatenated clip batch (conv batch 2B instead of two B passes —
+        measured: per-conv MXU efficiency rises steeply with batch at
+        train sizes; BASELINE.md round-3 train notes).
 
-        proposals: (B, 3, 2) cut-paste segments in frame units per sample
-        (the reference uses targets[0] with batch 1,
-        thumos14/BDNet.py:484; this generalizes to any batch).
-        Returns per-scale (anchor, positive, negative) (B, C/2) features.
-        """
-        feat_dict = self.backbone(x)
-        trip = self.pyramid(feat_dict, ssl=True)['trip']
+        Math-exact vs separate __call__ + ssl_forward ONLY when BN is
+        frozen (running stats; per-sample convs/pools are batch
+        independent) — the train step auto-selects this path iff
+        freeze_bn (the shipped configs). Reference semantics being
+        fused: train.py:222-241 (two sequential forwards)."""
+        b = x.shape[0]
+        feat_dict = self.backbone(jnp.concatenate([x, ssl_x], 0))
+        # ONE pyramid pass too (@nn.compact allows a single call per
+        # trace): the SSL trip features are exactly the concatenated
+        # (start, end) pairs the out dict already carries
+        # (pyramid.py trip[0..2] construction), so slice them back out
+        # of the 2B outputs instead of a second pyramid call. The only
+        # waste is the ssl half riding through the prop/center heads
+        # (~3.5% of model time).
+        full = self.pyramid(feat_dict)
+        cat = jnp.concatenate
+        trip = [cat([full['start'][b:], full['end'][b:]], -1),
+                cat([full['start_loc_prop'][b:],
+                     full['end_loc_prop'][b:]], -1),
+                cat([full['start_conf_prop'][b:],
+                     full['end_conf_prop'][b:]], -1)]
+        # batched outputs get their main half; shared tensors (priors,
+        # RPL centers/radius) pass through untouched
+        unbatched = {'priors', 'cls_ctr', 'prop_cls_ctr', 'rpl_radius'}
+        out = {k: (v[:b] if k not in unbatched
+                   and isinstance(v, jnp.ndarray) else v)
+               for k, v in full.items()}
+        if self.use_edl:
+            out['unct'] = dirichlet_uncertainty(out['conf'],
+                                                self.evidence)
+            out['prop_unct'] = dirichlet_uncertainty(out['prop_conf'],
+                                                     self.evidence)
+        return out, self._ssl_triplets(trip, proposals)
+
+    def _ssl_triplets(self, trip, proposals: Array
+                      ) -> Tuple[list, list, list]:
         decoded = proposals[..., :2]                        # (B, 3, 2)
         frame_segments = expand_boundary_segments(
             decoded[..., :1], decoded[..., 1:], plus_one=True)
@@ -132,3 +164,16 @@ class BDNet(nn.Module):
             positive.append(bound[:, 1, :ndim])
             negative.append(bound[:, 2, :ndim])
         return anchor, positive, negative
+
+    def ssl_forward(self, x: Array, proposals: Array
+                    ) -> Tuple[list, list, list]:
+        """Boundary-contrastive features for the SSL triplet loss.
+
+        proposals: (B, 3, 2) cut-paste segments in frame units per sample
+        (the reference uses targets[0] with batch 1,
+        thumos14/BDNet.py:484; this generalizes to any batch).
+        Returns per-scale (anchor, positive, negative) (B, C/2) features.
+        """
+        feat_dict = self.backbone(x)
+        trip = self.pyramid(feat_dict, ssl=True)['trip']
+        return self._ssl_triplets(trip, proposals)

@@ -74,7 +74,8 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
                    params, constants, batch: Dict[str, Array],
                    edl_state: Optional[EDLState], epoch: Array,
                    dropout_rng: Optional[Array] = None,
-                   train_bn: bool = False
+                   train_bn: bool = False,
+                   fuse_ssl: Optional[bool] = None
                    ) -> Tuple[Array, Dict[str, Array], Optional[EDLState],
                               Any]:
     """Full training objective (train.py:222-241). batch keys:
@@ -86,7 +87,24 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
     (torch updates them on every forward incl. the SSL pass)."""
     variables = {'params': params, 'constants': constants}
     rngs = {'dropout': dropout_rng} if dropout_rng is not None else None
-    if train_bn:
+    # Fused main+SSL backbone pass (ONE conv batch of 2B) whenever BN is
+    # frozen — exact same math as two sequential passes, and per-conv
+    # MXU efficiency rises steeply with batch at train sizes
+    # (BASELINE.md round-3). train_bn needs separate passes: torch
+    # train-mode BN draws batch statistics per forward.
+    # default OFF: measured on v5e (BASELINE.md round-3) the fusion is
+    # throughput-neutral at bs=8 (42.3 vs 43.5 clips/s, within tunnel
+    # variance) and worse at bs=10 — XLA already schedules the two
+    # sequential passes efficiently. Kept as an equivalence-tested
+    # switch for hardware where conv batch scaling pays.
+    fuse_ssl = (bool(fuse_ssl) and not train_bn and weights.ssl > 0
+                and 'ssl_clips' in batch)
+    fused_trip = None
+    if fuse_ssl:
+        out, fused_trip = model.apply(
+            variables, batch['clips'], batch['ssl_clips'],
+            batch['ssl_props'], method='train_forward', rngs=rngs)
+    elif train_bn:
         out, mut = model.apply(variables, batch['clips'], rngs=rngs,
                                mutable=['constants'])
         constants = mut['constants']
@@ -121,7 +139,9 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
 
     loss_trip = jnp.asarray(0.0)
     if weights.ssl > 0 and 'ssl_clips' in batch:
-        if train_bn:
+        if fused_trip is not None:
+            anchors, positives, negatives = fused_trip
+        elif train_bn:
             (anchors, positives, negatives), mut = model.apply(
                 variables, batch['ssl_clips'], batch['ssl_props'],
                 method='ssl_forward', rngs=rngs, mutable=['constants'])
@@ -147,9 +167,16 @@ def compute_losses(model, loss_cfg: LossConfig, weights: LossWeights,
 
 
 def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
-                    tx: optax.GradientTransformation):
+                    tx: optax.GradientTransformation,
+                    fuse_ssl: Optional[bool] = None):
     """Returns train_step(state, batch, epoch, rng) -> (state, metrics).
-    Pure; jit or pjit it over a data-sharded batch."""
+    Pure; jit or pjit it over a data-sharded batch.
+
+    fuse_ssl: True fuses the main+SSL backbone passes into one conv
+    batch of 2B (exact math under frozen BN, equivalence-tested).
+    Default off — measured throughput-neutral on v5e at bs=8
+    (BASELINE.md round-3); the switch exists for hardware where conv
+    batch scaling pays."""
 
     # freeze_bn: false -> BN normalizes by batch stats and its running
     # stats EMA-update through the step (torch train-mode BN)
@@ -163,7 +190,7 @@ def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
             cost, metrics, new_edl, new_consts = compute_losses(
                 model, loss_cfg, weights, params, state.constants, batch,
                 state.edl_state, epoch, dropout_rng=rng,
-                train_bn=train_bn)
+                train_bn=train_bn, fuse_ssl=fuse_ssl)
             return cost, (metrics, new_edl, new_consts)
 
         (_, (metrics, new_edl, new_consts)), grads = jax.value_and_grad(

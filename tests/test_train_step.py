@@ -136,3 +136,40 @@ def test_rpl_train_step_smoke():
     r0 = float(state.params['pyramid']['rpl_radius'][0])
     r1 = float(new_state.params['pyramid']['rpl_radius'][0])
     assert r0 != r1, 'rpl radius should receive gradient'
+
+
+@pytest.mark.slow
+def test_fused_ssl_step_matches_sequential():
+    """The fused main+SSL backbone pass (one conv batch of 2B,
+    train_forward) must produce the same losses and gradients as the
+    reference's two sequential forwards — frozen-BN configs only, where
+    the fusion is math-exact (train/step.py fuse_ssl)."""
+    model = tiny_model()
+    cfg = make_cfg()
+    weights = LossWeights()
+    tx = make_optimizer(1e-5, 1e-3)
+    batch = tiny_batch(batch_size=2, seed=3)
+    variables = model.init(jax.random.PRNGKey(0), batch['clips'][:1])
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(cfg.edl))
+    epoch = jnp.asarray(11)
+
+    fused = jax.jit(make_train_step(model, cfg, weights, tx,
+                                    fuse_ssl=True))
+    seq = jax.jit(make_train_step(model, cfg, weights, tx))
+    fs, fm = fused(state, batch, epoch)
+    ss, sm = seq(state, batch, epoch)
+    for k in sm:
+        np.testing.assert_allclose(np.asarray(fm[k]), np.asarray(sm[k]),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=f'metric {k}')
+    flat_s = jax.tree_util.tree_leaves_with_path(ss.params)
+    flat_f = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_leaves_with_path(fs.params)}
+    for path, a in flat_s:
+        b = flat_f[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(path))
