@@ -1,0 +1,107 @@
+"""AOT model export for serving: `python -m opental_tpu.tools.export
+<cfg.yaml> --out model.jaxexp [--window_batch 128] [--platforms tpu,cpu]`.
+
+Serializes the jitted window-batched forward+decode (weights baked in as
+constants) to a self-contained StableHLO artifact via jax.export. A
+serving process deserializes it with `load_exported` and calls it on
+(W, T, H, W, C) f32 clip batches — no model code, flax, or checkpoint
+loading needed at serving time, and the artifact is
+version/platform-checked by jax on load.
+
+Beyond-reference capability (the torch reference deploys by shipping the
+training repo + .ckpt files; here deployment is one file + jax). The
+exported function is exactly bench.py's measured inference graph
+(forward + on-device decode); host soft-NMS composes downstream via
+ops/nms.soft_nms_numpy or the device-post pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from opental_tpu import factory
+from opental_tpu.config import Config, load_config
+from opental_tpu.infer.decode import decode_windows
+
+
+def build_inference_fn(cfg: Config, window_batch: int = 128,
+                       dtype=None) -> Callable:
+    """Jitted clips -> DecodedWindows closure with weights baked in."""
+    te = cfg.testing
+    clip_length = cfg.get_path('dataset.testing.clip_length', 256)
+    crop_size = cfg.get_path('dataset.testing.crop_size', 96)
+    flags = factory.model_flags(cfg)
+    if dtype is None:
+        dtype = (jnp.float32
+                 if cfg.get_path('model.compute_dtype') in ('float32',
+                                                            'f32')
+                 else jnp.bfloat16)
+    model = factory.build_model(cfg, frame_num=clip_length, dtype=dtype)
+    from opental_tpu.tools.test import load_variables
+    shape = (1, clip_length, crop_size, crop_size, model.in_channels)
+    variables = load_variables(model, te['checkpoint_path'], shape)
+    score_func = 'dirichlet' if flags['use_edl'] else 'softmax'
+
+    @jax.jit
+    def serve(clips):
+        out = model.apply(variables, clips)
+        dec = decode_windows(out, clip_length, use_edl=flags['use_edl'],
+                             os_head=flags['os_head'],
+                             score_func=score_func,
+                             evidence=flags['evidence'])
+        return {'segments': dec.segments, 'scores': dec.scores,
+                'uncertainty': dec.uncertainty,
+                'actionness': dec.actionness}
+
+    spec = jax.ShapeDtypeStruct(
+        (window_batch, clip_length, crop_size, crop_size,
+         model.in_channels), jnp.float32)
+    return serve, spec
+
+
+def export_model(cfg: Config, out_path: str, window_batch: int = 128,
+                 platforms: Optional[Sequence[str]] = None) -> str:
+    """Serialize the serving function to `out_path`. platforms defaults
+    to the current backend; pass ('tpu',) or ('tpu', 'cpu') to fix the
+    deployment targets regardless of the exporting host."""
+    from jax import export as jexport
+    serve, spec = build_inference_fn(cfg, window_batch)
+    kw = {'platforms': list(platforms)} if platforms else {}
+    exp = jexport.export(serve, **kw)(spec)
+    data = exp.serialize()
+    with open(out_path, 'wb') as f:
+        f.write(data)
+    return out_path
+
+
+def load_exported(path: str) -> Callable:
+    """Deserialize a serving artifact; returns clips -> dict of arrays."""
+    from jax import export as jexport
+    with open(path, 'rb') as f:
+        exp = jexport.deserialize(f.read())
+    return jax.jit(exp.call)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument('config_file')
+    p.add_argument('--out', default='model.jaxexp')
+    p.add_argument('--window_batch', type=int, default=128)
+    p.add_argument('--platforms', default=None,
+                   help='comma list, e.g. tpu,cpu (default: current '
+                        'backend)')
+    args = p.parse_args(argv)
+    cfg = load_config(args.config_file)
+    platforms = args.platforms.split(',') if args.platforms else None
+    path = export_model(cfg, args.out, args.window_batch, platforms)
+    import os
+    print(f'wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB, '
+          f'W={args.window_batch})')
+
+
+if __name__ == '__main__':
+    main()
