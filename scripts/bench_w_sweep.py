@@ -1,5 +1,11 @@
 """Inference throughput vs window-batch W (real TPU, bench.py protocol:
-forward + on-device decode, bf16, full-tensor witness, on-device data)."""
+forward + on-device decode, bf16, full-tensor witness, on-device data).
+
+--bf16-input generates the window batch in bf16 (numerically identical:
+the model's first conv casts f32 inputs to bf16 anyway) — halves the
+input's HBM (2.26 GB at W=160), unlocking Ws past the f32-input OOM.
+Add a carry-dependency cast so the chained timing still works."""
+import sys
 import time
 
 import jax
@@ -17,10 +23,14 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, CLIP, CROP, CROP, 3)))
 
-    for w in (160, 192, 256):
+    bf16_in = '--bf16-input' in sys.argv
+    ws = [int(v) for v in (sys.argv[sys.argv.index('--ws') + 1].split(',')
+                           if '--ws' in sys.argv else ('160', '192', '256'))]
+    dt_in = jnp.bfloat16 if bf16_in else jnp.float32
+    for w in ws:
         x = jax.jit(lambda _w=w: jax.random.normal(
             jax.random.PRNGKey(1), (_w, CLIP, CROP, CROP, 3),
-            jnp.float32))()
+            dt_in))()
 
         @jax.jit
         def forward_decode(variables, clips):
@@ -33,7 +43,7 @@ def main():
                     + jnp.sum(dec.actionness.astype(jnp.float32)))
 
         def step(carry):
-            return forward_decode(variables, x + carry * 0)
+            return forward_decode(variables, x + carry.astype(dt_in) * 0)
 
         carry = jnp.float32(0)
         for _ in range(3):
