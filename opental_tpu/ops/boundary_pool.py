@@ -20,6 +20,7 @@ kept for cross-checking in tests.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Tuple
@@ -141,11 +142,28 @@ def _on_tpu() -> bool:
     return platform in ('tpu', 'axon')
 
 
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_path():
+    """Route boundary_max_pool_auto to the pure-XLA twin regardless of
+    backend — needed when tracing for multi-platform jax.export (a
+    Pallas call has no CPU lowering) and for A/B tests."""
+    global _FORCE_XLA
+    prev, _FORCE_XLA = _FORCE_XLA, True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
+
+
 def boundary_max_pool_auto(x: Array, segments: Array) -> Array:
     """Backend dispatch: the Pallas kernel on TPU (10x the XLA
-    sparse-table path there), XLA everywhere else. Both share the exact
-    CUDA-parity semantics and first-argmax backward."""
-    if _on_tpu():
+    sparse-table path there), XLA everywhere else (or under
+    force_xla_path). Both share the exact CUDA-parity semantics and
+    first-argmax backward."""
+    if _on_tpu() and not _FORCE_XLA:
         from opental_tpu.ops.boundary_pool_pallas import (
             boundary_max_pool_pallas)
         return boundary_max_pool_pallas(x, segments)

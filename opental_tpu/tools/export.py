@@ -69,9 +69,19 @@ def export_model(cfg: Config, out_path: str, window_batch: int = 128,
     to the current backend; pass ('tpu',) or ('tpu', 'cpu') to fix the
     deployment targets regardless of the exporting host."""
     from jax import export as jexport
+
+    from opental_tpu.ops.boundary_pool import force_xla_path
     serve, spec = build_inference_fn(cfg, window_batch)
     kw = {'platforms': list(platforms)} if platforms else {}
-    exp = jexport.export(serve, **kw)(spec)
+    multi = platforms and (len(platforms) > 1
+                           or 'tpu' not in platforms)
+    if multi:
+        # the Pallas boundary-pool kernel only lowers for TPU; portable
+        # artifacts trace the exact-parity XLA twin instead
+        with force_xla_path():
+            exp = jexport.export(serve, **kw)(spec)
+    else:
+        exp = jexport.export(serve, **kw)(spec)
     data = exp.serialize()
     with open(out_path, 'wb') as f:
         f.write(data)
@@ -90,12 +100,16 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument('config_file')
     p.add_argument('--out', default='model.jaxexp')
+    p.add_argument('--checkpoint_path', default=None,
+                   help='override testing.checkpoint_path')
     p.add_argument('--window_batch', type=int, default=128)
     p.add_argument('--platforms', default=None,
                    help='comma list, e.g. tpu,cpu (default: current '
                         'backend)')
     args = p.parse_args(argv)
-    cfg = load_config(args.config_file)
+    overrides = ({'testing.checkpoint_path': args.checkpoint_path}
+                 if args.checkpoint_path else None)
+    cfg = load_config(args.config_file, overrides=overrides)
     platforms = args.platforms.split(',') if args.platforms else None
     path = export_model(cfg, args.out, args.window_batch, platforms)
     import os

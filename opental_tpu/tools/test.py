@@ -36,8 +36,10 @@ def resolve_checkpoint(path: str) -> str:
 def load_variables(model, checkpoint_path: str, sample_shape) -> dict:
     """Load model variables from an orbax dir or a torch .ckpt."""
     path = resolve_checkpoint(checkpoint_path)
-    template = model.init(jax.random.PRNGKey(0),
-                          jnp.zeros(sample_shape, jnp.float32))
+    # jitted init: un-jitted tracing dispatches thousands of single ops,
+    # minutes through the remote-TPU tunnel (CLAUDE.md gotcha)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros(sample_shape, jnp.float32))
     if os.path.isdir(path):
         from opental_tpu.train import checkpoint as ckpt
         state, _, _ = ckpt.restore(os.path.dirname(path),

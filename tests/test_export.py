@@ -51,3 +51,14 @@ def test_export_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(got[k]),
                                    np.asarray(want[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+    # portable export (explicit platform list without the current
+    # backend's default) routes the boundary pool through the XLA twin
+    # (a Pallas call has no portable lowering) — must still match.
+    port_path = str(tmp_path / 'model_portable.jaxexp')
+    export_model(cfg, port_path, window_batch=2, platforms=('cpu',))
+    got_port = load_exported(port_path)(clips)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got_port[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
