@@ -19,6 +19,19 @@ and datasets/anet_test_gt.py (per-split validation GT jsons).
         --src in.csv --dst out.csv [--drop Ambiguous]
     python -m opental_tpu.tools.preprocess anet_val_gt \
         --video_info gt.json --splits_dir annotations_open
+    python -m opental_tpu.tools.preprocess thumos_splits \
+        --anno_path datasets/thumos14/annotations \
+        --out_path datasets/thumos14/annotations_open
+    python -m opental_tpu.tools.preprocess anet_splits \
+        --anno_path datasets/activitynet/annotations \
+        --out_path datasets/activitynet/annotations_open
+    python -m opental_tpu.tools.preprocess merge_gt \
+        --thumos_gt t.json --anet_gt a.json --overlap cls.txt --out m.json
+
+The split generators cover datasets/openset_split_thumos14.py and
+datasets/openset_split_anet.py (seed 123; the reference's RNG sequence
+is reproduced so split membership is identical), merge_gt covers
+datasets/merge_thumos_anet_gt.py.
 """
 
 from __future__ import annotations
@@ -70,6 +83,28 @@ def main(argv=None) -> None:
     g.add_argument('--num_splits', type=int, default=5)
     g.add_argument('--subset', default='validation')
 
+    ts = sub.add_parser('thumos_splits')
+    ts.add_argument('--anno_path', required=True)
+    ts.add_argument('--out_path', required=True)
+    ts.add_argument('--num_splits', type=int, default=5)
+    ts.add_argument('--num_unknown', type=int, default=5)
+    ts.add_argument('--seed', type=int, default=123)
+
+    asp = sub.add_parser('anet_splits')
+    asp.add_argument('--anno_path', required=True)
+    asp.add_argument('--out_path', required=True)
+    asp.add_argument('--num_splits', type=int, default=5)
+    asp.add_argument('--unknown_ratio', type=float, default=0.25)
+    asp.add_argument('--seed', type=int, default=123)
+
+    m = sub.add_parser('merge_gt')
+    m.add_argument('--thumos_gt', required=True)
+    m.add_argument('--anet_gt', required=True)
+    m.add_argument('--overlap', required=True,
+                   help='txt file of THUMOS-overlapping ANet class names')
+    m.add_argument('--out', required=True)
+    m.add_argument('--anet_subset', default='validation')
+
     args = p.parse_args(argv)
     if args.cmd == 'video2npy':
         names = sorted(os.path.splitext(n)[0]
@@ -95,6 +130,21 @@ def main(argv=None) -> None:
         sp.write_anet_val_gt(args.video_info, args.splits_dir,
                              num_splits=args.num_splits,
                              subset=args.subset)
+    elif args.cmd == 'thumos_splits':
+        sp.generate_thumos_splits(args.anno_path, args.out_path,
+                                  num_splits=args.num_splits,
+                                  num_unknown=args.num_unknown,
+                                  seed=args.seed)
+    elif args.cmd == 'anet_splits':
+        sp.generate_anet_splits(args.anno_path, args.out_path,
+                                num_splits=args.num_splits,
+                                unknown_ratio=args.unknown_ratio,
+                                seed=args.seed)
+    elif args.cmd == 'merge_gt':
+        n = sp.merge_thumos_anet_gt(args.thumos_gt, args.anet_gt,
+                                    args.overlap, args.out,
+                                    anet_subset=args.anet_subset)
+        print(f'merged GT: {n} videos -> {args.out}')
 
 
 if __name__ == '__main__':
