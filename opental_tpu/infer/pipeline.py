@@ -109,7 +109,8 @@ class InferencePipeline:
                  evidence: str = 'exp',
                  flow_model=None, flow_variables=None, mesh=None,
                  device_nms: bool = False, device_post: bool = False,
-                 n_candidates: int = 512, device_ingest: bool = False):
+                 n_candidates: int = 512, device_ingest: bool = False,
+                 shared_backbone: bool = False, shared_group: int = 4):
         self.model = model
         self.variables = variables
         self.flow_model = flow_model
@@ -162,6 +163,21 @@ class InferencePipeline:
         else:
             self._forward_decode = jax.jit(forward_decode)
 
+        self.shared_backbone = shared_backbone
+        # windows per span in the shared-backbone path. k=4 measured
+        # optimal at clip 256 / stride 128 (scripts/probe_span_batch.py):
+        # larger k saves more backbone FLOPs but the long thin span maps
+        # worse to the MXU than a wide window batch (k=16 is 0.77x).
+        self.shared_group = shared_group
+        # spans per forward call: chunk to bound HBM, bucket to bound
+        # recompiles -> graph shapes {8, 16, 24, 32} like the per-window
+        # path's window chunking
+        self.shared_max_groups = 32
+        self._shared_forwards = {}
+        if shared_backbone:
+            assert flow_model is None and mesh is None, \
+                'shared_backbone supports single-stream single-device runs'
+
         self._ingest_forward = None
         if device_ingest:
             assert flow_model is None and mesh is None, \
@@ -178,6 +194,10 @@ class InferencePipeline:
         """data: (T, H, W, C) uint8 full video. Returns the per-video
         proposal list (label idx, score, segment seconds, uncertainty,
         actionness)."""
+        if self.shared_backbone:
+            assert flow_data is None, \
+                'shared_backbone supports single-stream runs'
+            return self._run_video_shared(data, sample_count, sample_fps)
         data = transforms.center_crop(data, self.crop_size)
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
@@ -256,6 +276,166 @@ class InferencePipeline:
                if acts[0] is not None else None)
 
         # shift windows into video time, in seconds (test.py:120)
+        off = np.asarray(offsets, np.float32)[:, None, None]
+        seconds = (segments + off) / sample_fps
+        return self._post_process(seconds, conf, unct, act)
+
+    def _shared_forward(self, n_groups: int):
+        """One jitted graph per bucketed group COUNT: each of `n_groups`
+        spans covers `shared_group` consecutive overlapping windows;
+        slice the spans from the device-resident uint8 video, run the
+        backbone ONCE per span (a (n_groups, span, ...) batch), slice
+        each window's Mixed_4f/Mixed_5c features per span (temporal
+        strides 4/8 divide the window stride), then pyramid+decode the
+        flattened (n_groups*shared_group, ...) window batch.
+
+        At clip 256 / stride 128, k=4 spans of 648 frames do 1.58x fewer
+        backbone FLOPs than 4 windows of 256 — and keep a wide span
+        batch so the MXU stays fed (scripts/probe_span_batch.py: fully
+        shared k=16 LOSES at 0.77x despite 1.88x fewer FLOPs). Deviation
+        vs the reference's per-window forward (test.py:227-235): windows
+        see their real temporal context through conv receptive fields
+        instead of SAME zero padding at window edges (PARITY.md "Known
+        deviations").
+        """
+        if n_groups in self._shared_forwards:
+            return self._shared_forwards[n_groups]
+        model = self.model
+        clip = self.clip_length
+        k = self.shared_group
+        # +8: the irregular tail offset (window_offsets) snaps up to the
+        # next multiple of 8 so feature slices stay stride-aligned
+        span = self.stride * (k - 1) + clip + 8
+        score_func = 'dirichlet' if self.use_edl else 'softmax'
+        use_edl, os_head = self.use_edl, self.os_head
+        evidence, negate = self.evidence, self.use_gcpl
+        w4, w8 = clip // 4, clip // 8
+
+        def fwd(variables, video_u8, bases, local_offs, frames_valid):
+            # bases (n_groups,) int32; local_offs (n_groups, k) int32
+
+            def one_span(base):
+                sl = jax.lax.dynamic_slice(
+                    video_u8, (base,) + (0,) * (video_u8.ndim - 1),
+                    (span,) + video_u8.shape[1:])
+                idx = base + jnp.arange(span)
+                x = (sl.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+                return jnp.where((idx < frames_valid)[:, None, None, None],
+                                 x, 0.0)
+
+            x = jax.vmap(one_span)(bases)
+            feats = model.apply(variables, x,
+                                method=type(model).backbone_features)
+            f4 = feats['Mixed_4f']        # (n_groups, span/4, ...)
+            f8 = feats['Mixed_5c']        # (n_groups, span/8, ...)
+
+            def one_window(g4, g8, lo):
+                return (jax.lax.dynamic_slice_in_dim(g4, lo // 4, w4, 0),
+                        jax.lax.dynamic_slice_in_dim(g8, lo // 8, w8, 0))
+
+            s4, s8 = jax.vmap(lambda g4, g8, los: jax.vmap(
+                lambda lo: one_window(g4, g8, lo))(los))(
+                    f4, f8, local_offs)
+            s4 = s4.reshape((n_groups * k,) + s4.shape[2:])
+            s8 = s8.reshape((n_groups * k,) + s8.shape[2:])
+            out = model.apply(variables,
+                              {'Mixed_4f': s4, 'Mixed_5c': s8},
+                              method=type(model).detect_from_features)
+            return decode_windows(out, clip, use_edl=use_edl,
+                                  os_head=os_head, score_func=score_func,
+                                  evidence=evidence, negate_conf=negate)
+
+        self._shared_forwards[n_groups] = jax.jit(fwd)
+        return self._shared_forwards[n_groups]
+
+    def _run_video_shared(self, data: np.ndarray, sample_count: int,
+                          sample_fps: float) -> List[Dict[str, Any]]:
+        """Shared-backbone run_video: k consecutive windows share one
+        backbone span; all spans of a chunk batch into one forward.
+        Returns the same proposal list contract."""
+        data = transforms.center_crop(data, self.crop_size)
+        offsets = window_offsets(sample_count, self.clip_length,
+                                 self.stride)
+        # snap the irregular tail offset UP to a multiple of 8 so its
+        # feature slice is aligned; the over-hang reads zero-masked pad,
+        # exactly like a zero-padded tail window
+        offsets = [o if o % 8 == 0 else ((o + 7) // 8) * 8
+                   for o in offsets]
+        n = len(offsets)
+        k = self.shared_group
+        span = self.stride * (k - 1) + self.clip_length + 8
+        n_groups = -(-n // k)
+
+        # group bases + per-window local offsets; tail groups repeat
+        # their last real window (dropped after decode)
+        bases = np.zeros((n_groups,), np.int32)
+        local = np.zeros((n_groups, k), np.int32)
+        for g in range(n_groups):
+            grp = offsets[g * k:(g + 1) * k]
+            bases[g] = grp[0]
+            rel = np.asarray(grp, np.int32) - grp[0]
+            local[g, :len(grp)] = rel
+            local[g, len(grp):] = rel[-1]
+
+        t = data.shape[0]
+        tt = max(t, sample_count)
+        tpad = -(-(tt + span) // 1024) * 1024
+        video = np.zeros((tpad,) + data.shape[1:], np.uint8)
+        video[:t] = data
+        video_dev = jnp.asarray(video)
+        frames_valid = jnp.int32(min(t, sample_count))
+
+        to_host = not self.device_post
+        segs, scores, uncts, acts = [], [], [], []
+        done = 0          # real windows consumed so far
+        for i in range(0, n_groups, self.shared_max_groups):
+            chunk = min(self.shared_max_groups, n_groups - i)
+            # graph shapes: {1, 2, 4, 8, 16, 24, 32}
+            b = (1 << (chunk - 1).bit_length() if chunk <= 8
+                 else _bucket(chunk, 8))
+            cb = np.zeros((b,), np.int32)
+            cl = np.zeros((b, k), np.int32)
+            cb[:chunk] = bases[i:i + chunk]
+            cl[:chunk] = local[i:i + chunk]
+            cl[chunk:] = local[i + chunk - 1]   # pad groups: repeat last
+            cb[chunk:] = bases[i + chunk - 1]
+            dec = self._shared_forward(b)(
+                self.variables, video_dev, jnp.asarray(cb),
+                jnp.asarray(cl), frames_valid)
+            keep = min(chunk * k, n - done)
+            done += keep
+            conv = np.asarray if to_host else (lambda a: a)
+            segs.append(conv(dec.segments[:keep]))
+            scores.append(conv(dec.scores[:keep]))
+            uncts.append(None if dec.uncertainty is None
+                         else conv(dec.uncertainty[:keep]))
+            acts.append(None if dec.actionness is None
+                        else conv(dec.actionness[:keep]))
+
+        if self.device_post:
+            from opental_tpu.infer.decode import DecodedWindows
+
+            def cat_pad(parts):
+                # pad the window axis to a bucket so the fused post
+                # graph compiles once per size class, not per video
+                a = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                n_pad = _bucket(n, 8)
+                if n_pad == a.shape[0]:
+                    return a
+                pad = jnp.zeros((n_pad - a.shape[0],) + a.shape[1:],
+                                a.dtype)
+                return jnp.concatenate([a, pad])
+
+            dec_all = DecodedWindows(
+                cat_pad(segs), cat_pad(scores),
+                None if uncts[0] is None else cat_pad(uncts),
+                None if acts[0] is None else cat_pad(acts))
+            return self._post_process_on_device(dec_all, offsets,
+                                                sample_fps, n)
+        segments = np.concatenate(segs)
+        conf = np.concatenate(scores)
+        unct = (np.concatenate(uncts) if uncts[0] is not None else None)
+        act = (np.concatenate(acts) if acts[0] is not None else None)
         off = np.asarray(offsets, np.float32)[:, None, None]
         seconds = (segments + off) / sample_fps
         return self._post_process(seconds, conf, unct, act)

@@ -98,7 +98,20 @@ class BDNet(nn.Module):
                 deterministic=self.deterministic, dtype=self.dtype)
 
     def __call__(self, x: Array, get_feat: bool = False) -> Dict[str, Any]:
-        feat_dict = self.backbone(x)
+        return self.detect_from_features(self.backbone(x),
+                                         get_feat=get_feat)
+
+    def backbone_features(self, x: Array) -> Dict[str, Array]:
+        """Backbone-only pass. Shared-backbone inference runs this ONCE
+        over a span covering many overlapping test windows (reference
+        runs the full net per window, test.py:227-235 — at stride 128 /
+        clip 256 that computes every frame's backbone twice)."""
+        return self.backbone(x)
+
+    def detect_from_features(self, feat_dict: Dict[str, Array],
+                             get_feat: bool = False) -> Dict[str, Any]:
+        """Pyramid + heads on precomputed backbone features; the tail
+        of __call__ after the backbone (same out_dict contract)."""
         out = self.pyramid(feat_dict, get_feat=get_feat)
         if self.use_edl:
             out['unct'] = dirichlet_uncertainty(out['conf'], self.evidence)
