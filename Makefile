@@ -6,11 +6,12 @@ test:
 
 # per-round CI tier: fast tests + the strongest end-to-end checks
 # (full bdnet forward parity, composed-pipeline parity, sharded-train
-# equivalence)
+# equivalence, shared-backbone feature alignment)
 ci:
 	python -m pytest tests/ -q -m "not slow"
 	python -m pytest tests/test_bdnet_parity.py \
-	    tests/test_composed_parity.py tests/test_mesh_train.py -q
+	    tests/test_composed_parity.py tests/test_mesh_train.py \
+	    tests/test_shared_backbone.py -q
 
 test-all:
 	python -m pytest tests/ -q

@@ -7,7 +7,10 @@ times sequential single-clip forwards on [1, 3, 256, 96, 96]; here the
 framework-native window-batched path runs W=128 windows per device step
 in bf16 (forward + on-device decode). W sweep measured (round 2,
 scripts/bench_w_sweep.py): 32/64/96/128 -> 300/310/363/419 clips/s;
-W=160 OOMs v5e HBM, so 128 is the chip's sweet spot. The e2e phase runs the full
+W=160 OOMs v5e HBM, so 128 is the chip's sweet spot. A secondary
+shared-backbone metric runs one backbone pass per span of 4 overlapping
+windows (48 spans = 192 windows/step; PARITY.md deviation) — fewer FLOPs
+per window AND more windows in flight. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
 64-window synthetic video. The train phase times the full OpenTAL-final
 jitted train step (EDL-MIB + PU actionness + SSL triplet) at its
@@ -85,6 +88,48 @@ def bench_inference(model, variables, x):
     per_iter = min(chain_time(step, ITERS, warmup=WARMUP),
                    chain_time(step, ITERS))
     return BATCH_WINDOWS / per_iter
+
+
+def bench_shared(model, variables):
+    """Shared-backbone window throughput at its measured-best config:
+    48 spans of k=4 overlapping windows (192 windows/step, clip 256 /
+    stride 128) — 1.58x fewer backbone FLOPs than per-window, and more
+    windows in flight than the per-window HBM ceiling (128). Semantics
+    deviate at window edges (real temporal context vs per-window zero
+    padding, PARITY.md); reported alongside the per-window headline."""
+    from opental_tpu.infer.pipeline import InferencePipeline
+    K, G = 4, 48
+    total = K * G
+    span = 128 * (K - 1) + CLIP + 8
+    t = 128 * (total - 1) + CLIP
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=128, crop_size=CROP, use_edl=True,
+                             os_head=True, shared_backbone=True)
+    shared_fwd = pipe._shared_forward(G)
+    tpad = -(-(t + span) // 1024) * 1024
+    video_u8 = jax.jit(lambda: jax.random.randint(
+        jax.random.PRNGKey(1), (tpad, CROP, CROP, 3), 0, 255,
+        jnp.uint8))()
+    offsets = jnp.arange(total, dtype=jnp.int32) * 128
+    bases = offsets[::K]
+    locals_ = (offsets.reshape(G, K) - bases[:, None]).astype(jnp.int32)
+    frames_valid = jnp.int32(t)
+
+    @jax.jit
+    def fwd(variables, video_u8, c):
+        dec = shared_fwd(variables, video_u8 + c.astype(jnp.uint8) * 0,
+                         bases, locals_, frames_valid)
+        return (jnp.sum(dec.scores.astype(jnp.float32))
+                + jnp.sum(dec.segments.astype(jnp.float32))
+                + jnp.sum(dec.uncertainty.astype(jnp.float32))
+                + jnp.sum(dec.actionness.astype(jnp.float32)))
+
+    def step(carry):
+        return fwd(variables, video_u8, carry)
+
+    per_iter = min(chain_time(step, ITERS, warmup=WARMUP),
+                   chain_time(step, ITERS))
+    return total / per_iter
 
 
 def bench_e2e(model, variables, device_post, device_ingest=False):
@@ -195,6 +240,8 @@ def main():
 
     pallas_check = check_pallas_vs_xla()
     clips_per_sec = bench_inference(model, variables, x)
+    del x   # free the 3.6 GB window batch before the shared-path bench
+    shared_clips_per_sec = bench_shared(model, variables)
     e2e_host, _ = bench_e2e(model, variables, device_post=False)
     e2e_device, _ = bench_e2e(model, variables, device_post=True,
                               device_ingest=True)
@@ -206,6 +253,7 @@ def main():
         'unit': 'clips/sec/chip',
         'vs_baseline': round(clips_per_sec / A100_REF_CLIPS_PER_SEC, 3),
         'mfu': round(clips_per_sec * FLOPS_PER_CLIP / V5E_PEAK_BF16, 4),
+        'shared_backbone_clips_per_sec': round(shared_clips_per_sec, 2),
         'e2e_clips_per_sec_host_nms': round(e2e_host, 2),
         'e2e_clips_per_sec_device_pipeline': round(e2e_device, 2),
         'train_clips_per_sec': round(train_clips_per_sec, 3),

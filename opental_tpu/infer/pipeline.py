@@ -170,13 +170,15 @@ class InferencePipeline:
         # worse to the MXU than a wide window batch (k=16 is 0.77x).
         self.shared_group = shared_group
         # spans per forward call: chunk to bound HBM, bucket to bound
-        # recompiles -> graph shapes {8, 16, 24, 32} like the per-window
-        # path's window chunking
-        self.shared_max_groups = 32
+        # recompiles. 48 spans (192 windows) measured best on v5e —
+        # 511.5 vs 484.9 clips/s at 32 spans (probe_span_batch; 56+
+        # OOMs at compile; 40 hits a tiling dip, 415.7) — and exceeds
+        # the per-window path's HBM ceiling of 128 windows in flight
+        self.shared_max_groups = 48
         self._shared_forwards = {}
         if shared_backbone:
-            assert flow_model is None and mesh is None, \
-                'shared_backbone supports single-stream single-device runs'
+            assert flow_model is None, \
+                'shared_backbone supports single-stream runs'
 
         self._ingest_forward = None
         if device_ingest:
@@ -345,7 +347,21 @@ class InferencePipeline:
                                   os_head=os_head, score_func=score_func,
                                   evidence=evidence, negate_conf=negate)
 
-        self._shared_forwards[n_groups] = jax.jit(fwd)
+        if self.mesh is not None:
+            # sequence-parallel over spans: groups shard across the data
+            # axis (n_groups is bucketed to a mesh-size multiple), video
+            # + params replicated; the flattened window axis comes back
+            # group-major so it stays contiguously sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from opental_tpu.parallel.mesh import DATA_AXIS
+            rep = NamedSharding(self.mesh, P())
+            shd = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._shared_forwards[n_groups] = jax.jit(
+                fwd, in_shardings=(rep, rep, shd, shd, rep),
+                out_shardings=shd)
+        else:
+            self._shared_forwards[n_groups] = jax.jit(fwd)
         return self._shared_forwards[n_groups]
 
     def _run_video_shared(self, data: np.ndarray, sample_count: int,
@@ -390,9 +406,13 @@ class InferencePipeline:
         done = 0          # real windows consumed so far
         for i in range(0, n_groups, self.shared_max_groups):
             chunk = min(self.shared_max_groups, n_groups - i)
-            # graph shapes: {1, 2, 4, 8, 16, 24, 32}
-            b = (1 << (chunk - 1).bit_length() if chunk <= 8
-                 else _bucket(chunk, 8))
+            if self.mesh is not None:
+                # group axis shards across the mesh -> mesh-size multiple
+                b = _bucket(chunk, self.mesh.size)
+            else:
+                # graph shapes: {1, 2, 4, 8, 16, 24, 32, 40, 48}
+                b = (1 << (chunk - 1).bit_length() if chunk <= 8
+                     else _bucket(chunk, 8))
             cb = np.zeros((b,), np.int32)
             cl = np.zeros((b, k), np.int32)
             cb[:chunk] = bases[i:i + chunk]

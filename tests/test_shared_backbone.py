@@ -109,6 +109,79 @@ def test_shared_pipeline_runs_and_posts_match():
 
 
 @pytest.mark.slow
+def test_shared_mesh_matches_single_device():
+    """Sequence-parallel shared-backbone inference (span groups sharded
+    across the 8-device CPU mesh) matches the single-device shared path
+    exactly — same math, groups distributed."""
+    from opental_tpu.parallel import mesh as meshlib
+
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True, shared_backbone=True)
+    single = InferencePipeline(model, variables, **kwargs)
+    sharded = InferencePipeline(model, variables,
+                                mesh=meshlib.make_mesh(), **kwargs)
+
+    video = _video(400, seed=5)
+    props_a = single.run_video(video, sample_count=400, sample_fps=10.0)
+    props_b = sharded.run_video(video, sample_count=400, sample_fps=10.0)
+
+    assert props_a and len(props_a) == len(props_b)
+    for a, b in zip(props_a, props_b):
+        assert a['cls'] == b['cls']
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-5)
+        np.testing.assert_allclose(a['segment'], b['segment'], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_shared_backbone_cli_wiring(tmp_path):
+    """`testing.shared_backbone: true` reaches the pipeline from the
+    tools/test.py config surface and writes a valid detection JSON over
+    the synthetic dataset."""
+    import json
+    import os
+
+    from opental_tpu import factory
+    from opental_tpu.config import load_config
+    from opental_tpu.losses.edl import EDLConfig, EDLState
+    from opental_tpu.tools.test import build_pipeline, run_test
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.step import TrainState, make_optimizer
+    from opental_tpu.utils.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / 'synth')
+    cfg_path = make_synthetic_dataset(root, clip_length=128, crop_size=32)
+    cfg = load_config(cfg_path)
+
+    model = factory.build_model(cfg, frame_num=128)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 32, 32, 3), np.float32))
+    tx = make_optimizer(1e-5, 1e-3)
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(EDLConfig(num_classes=4)))
+    ckpt.save(cfg.training['checkpoint_path'], 1, state,
+              jax.random.PRNGKey(0))
+
+    cfg.testing['shared_backbone'] = True
+    pipe, _, _ = build_pipeline(cfg)
+    assert pipe.shared_backbone, 'config key did not reach the pipeline'
+
+    cfg.testing['output_json'] = 'shared.json'
+    out_path = run_test(cfg)
+    payload = json.load(open(out_path))
+    assert set(payload) == {'version', 'results', 'external_data'}
+    assert len(payload['results']) == 2
+    assert sum(len(v) for v in payload['results'].values()) > 0
+    for props in payload['results'].values():
+        for p in props:
+            assert np.isfinite(p['score']) and len(p['segment']) == 2
+    assert os.path.exists(out_path)
+
+
+@pytest.mark.slow
 def test_shared_pipeline_single_window_video():
     """A video shorter than one clip runs through the small-group graph
     with padded duplicate windows dropped."""
