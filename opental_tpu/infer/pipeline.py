@@ -177,8 +177,8 @@ class InferencePipeline:
         self.shared_max_groups = 48
         self._shared_forwards = {}
         if shared_backbone:
-            assert flow_model is None, \
-                'shared_backbone supports single-stream runs'
+            assert flow_model is None or mesh is None, \
+                'shared_backbone fusion runs are single-device'
 
         self._ingest_forward = None
         if device_ingest:
@@ -197,9 +197,8 @@ class InferencePipeline:
         proposal list (label idx, score, segment seconds, uncertainty,
         actionness)."""
         if self.shared_backbone:
-            assert flow_data is None, \
-                'shared_backbone supports single-stream runs'
-            return self._run_video_shared(data, sample_count, sample_fps)
+            return self._run_video_shared(data, sample_count, sample_fps,
+                                          flow_data=flow_data)
         data = transforms.center_crop(data, self.crop_size)
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
@@ -302,7 +301,7 @@ class InferencePipeline:
         """
         if n_groups in self._shared_forwards:
             return self._shared_forwards[n_groups]
-        model = self.model
+        model, flow_model = self.model, self.flow_model
         clip = self.clip_length
         k = self.shared_group
         # +8: the irregular tail offset (window_offsets) snaps up to the
@@ -313,8 +312,10 @@ class InferencePipeline:
         evidence, negate = self.evidence, self.use_gcpl
         w4, w8 = clip // 4, clip // 8
 
-        def fwd(variables, video_u8, bases, local_offs, frames_valid):
-            # bases (n_groups,) int32; local_offs (n_groups, k) int32
+        def window_out(mdl, variables, video_u8, bases, local_offs,
+                       frames_valid):
+            """One stream: span slice -> backbone -> per-window feature
+            slices -> pyramid/heads out_dict on the flattened windows."""
 
             def one_span(base):
                 sl = jax.lax.dynamic_slice(
@@ -326,8 +327,8 @@ class InferencePipeline:
                                  x, 0.0)
 
             x = jax.vmap(one_span)(bases)
-            feats = model.apply(variables, x,
-                                method=type(model).backbone_features)
+            feats = mdl.apply(variables, x,
+                              method=type(mdl).backbone_features)
             f4 = feats['Mixed_4f']        # (n_groups, span/4, ...)
             f8 = feats['Mixed_5c']        # (n_groups, span/8, ...)
 
@@ -340,9 +341,18 @@ class InferencePipeline:
                     f4, f8, local_offs)
             s4 = s4.reshape((n_groups * k,) + s4.shape[2:])
             s8 = s8.reshape((n_groups * k,) + s8.shape[2:])
-            out = model.apply(variables,
-                              {'Mixed_4f': s4, 'Mixed_5c': s8},
-                              method=type(model).detect_from_features)
+            return mdl.apply(variables, {'Mixed_4f': s4, 'Mixed_5c': s8},
+                             method=type(mdl).detect_from_features)
+
+        def fwd(variables, video_u8, bases, local_offs, frames_valid,
+                flow_vars=None, flow_u8=None):
+            # bases (n_groups,) int32; local_offs (n_groups, k) int32
+            out = window_out(model, variables, video_u8, bases,
+                             local_offs, frames_valid)
+            if flow_model is not None and flow_u8 is not None:
+                flow_out = window_out(flow_model, flow_vars, flow_u8,
+                                      bases, local_offs, frames_valid)
+                out = fuse_streams(out, flow_out)
             return decode_windows(out, clip, use_edl=use_edl,
                                   os_head=os_head, score_func=score_func,
                                   evidence=evidence, negate_conf=negate)
@@ -365,10 +375,13 @@ class InferencePipeline:
         return self._shared_forwards[n_groups]
 
     def _run_video_shared(self, data: np.ndarray, sample_count: int,
-                          sample_fps: float) -> List[Dict[str, Any]]:
+                          sample_fps: float,
+                          flow_data: Optional[np.ndarray] = None
+                          ) -> List[Dict[str, Any]]:
         """Shared-backbone run_video: k consecutive windows share one
         backbone span; all spans of a chunk batch into one forward.
-        Returns the same proposal list contract."""
+        With fusion, both streams share the span geometry and fuse
+        head-wise before decode. Returns the same proposal contract."""
         data = transforms.center_crop(data, self.crop_size)
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
@@ -400,6 +413,13 @@ class InferencePipeline:
         video[:t] = data
         video_dev = jnp.asarray(video)
         frames_valid = jnp.int32(min(t, sample_count))
+        flow_dev = None
+        if flow_data is not None:
+            assert self.flow_model is not None
+            flow_data = transforms.center_crop(flow_data, self.crop_size)
+            flow = np.zeros((tpad,) + flow_data.shape[1:], np.uint8)
+            flow[:min(t, flow_data.shape[0])] = flow_data[:t]
+            flow_dev = jnp.asarray(flow)
 
         to_host = not self.device_post
         segs, scores, uncts, acts = [], [], [], []
@@ -419,9 +439,15 @@ class InferencePipeline:
             cl[:chunk] = local[i:i + chunk]
             cl[chunk:] = local[i + chunk - 1]   # pad groups: repeat last
             cb[chunk:] = bases[i + chunk - 1]
-            dec = self._shared_forward(b)(
-                self.variables, video_dev, jnp.asarray(cb),
-                jnp.asarray(cl), frames_valid)
+            if flow_dev is None:
+                dec = self._shared_forward(b)(
+                    self.variables, video_dev, jnp.asarray(cb),
+                    jnp.asarray(cl), frames_valid)
+            else:
+                dec = self._shared_forward(b)(
+                    self.variables, video_dev, jnp.asarray(cb),
+                    jnp.asarray(cl), frames_valid,
+                    self.flow_variables, flow_dev)
             keep = min(chunk * k, n - done)
             done += keep
             conv = np.asarray if to_host else (lambda a: a)

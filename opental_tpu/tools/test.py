@@ -106,12 +106,12 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         device_ingest=te.get('device_ingest', False),
         # testing.shared_backbone (default OFF): one backbone pass per
         # span of 4 consecutive windows instead of per overlapping
-        # window (1.58x fewer backbone FLOPs at stride 128, +8.4%
-        # measured). Deviation: windows see real temporal context
-        # through conv receptive fields instead of the reference's
-        # per-window zero padding (PARITY.md)
-        shared_backbone=(te.get('shared_backbone', False)
-                         and not fusion))
+        # window (1.58x fewer backbone FLOPs at stride 128, +12.5%
+        # measured at 48 spans). Composes with fusion (both streams
+        # share span geometry). Deviation: windows see real temporal
+        # context through conv receptive fields instead of the
+        # reference's per-window zero padding (PARITY.md)
+        shared_backbone=te.get('shared_backbone', False))
 
     video_infos = get_video_info(
         cfg.get_path('dataset.testing.video_info_path'))

@@ -182,6 +182,39 @@ def test_shared_backbone_cli_wiring(tmp_path):
 
 
 @pytest.mark.slow
+def test_shared_fusion_two_streams_contribute():
+    """Fusion through the shared path: both streams share span geometry
+    and fuse head-wise (test.py:91-108 averaging) before decode. The
+    flow stream must actually change the fused scores."""
+    model, variables = _model_and_vars()
+    flow_model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                       frame_num=CLIP, in_channels=2)
+    flow_vars = jax.jit(flow_model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, CLIP, CROP, CROP, 2),
+                                         jnp.float32))
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True, shared_backbone=True)
+    video = _video(300, seed=8)
+    rng = np.random.RandomState(9)
+    flow = rng.randint(0, 255, (300, 40, 40, 2), dtype=np.uint8)
+
+    solo = InferencePipeline(model, variables, **kwargs)
+    props_solo = solo.run_video(video, sample_count=300, sample_fps=10.0)
+
+    fused = InferencePipeline(model, variables, flow_model=flow_model,
+                              flow_variables=flow_vars, **kwargs)
+    props_fused = fused.run_video(video, sample_count=300,
+                                  sample_fps=10.0, flow_data=flow)
+    assert props_fused
+    for p in props_fused:
+        assert np.isfinite(p['score']) and p['segment'][0] < p['segment'][1]
+    assert (sorted(round(p['score'], 6) for p in props_solo)
+            != sorted(round(p['score'], 6) for p in props_fused)), \
+        'flow stream did not contribute to fused scores'
+
+
+@pytest.mark.slow
 def test_shared_pipeline_single_window_video():
     """A video shorter than one clip runs through the small-group graph
     with padded duplicate windows dropped."""
