@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -281,6 +281,315 @@ class InferencePipeline:
         seconds = (segments + off) / sample_fps
         return self._post_process(seconds, conf, unct, act)
 
+    def run_videos(self, videos, max_batch: int = 128,
+                   frames_capacity: int = 32768
+                   ) -> Dict[str, List[Dict[str, Any]]]:
+        """Packed cross-video inference: windows from consecutive videos
+        pack into FULL forward batches of `max_batch`.
+
+        The per-video path underfills the device on real datasets —
+        short videos produce 4-32 window batches, and measured
+        throughput falls with batch (W=32/64/96/128 -> 300/310/363/419
+        clips/s, BASELINE.md "Window-batch sweep"). Packing keeps every
+        forward at the throughput-optimal batch regardless of video
+        length, with ONE jit graph shape for the whole run (the final
+        partial batch zero-pads). Results match per-video run_video:
+        inference has no cross-window coupling (BN is frozen
+        constants); only last-ulp float differences from different
+        batch tiling remain (~1e-6 relative, tests). The reference
+        processes one window at a time (test.py:227-235); this is the
+        framework-native equivalent of its whole test loop.
+
+        videos: iterable of (name, data, sample_count, sample_fps) or
+        (..., flow_data) tuples; consumed lazily so callers can stream
+        np.load one video at a time. Returns {name: proposals}.
+        """
+        assert not self.device_ingest, \
+            'packed mode uses host window stacking'
+        if self.shared_backbone:
+            return self.run_videos_shared(videos,
+                                          frames_capacity=frames_capacity)
+        fusion = self.flow_model is not None
+
+        pending: List[Dict[str, Any]] = []   # FIFO of open videos
+        buf: List[np.ndarray] = []           # queued window arrays
+        fbuf: List[np.ndarray] = []
+        buffered = 0
+        results: Dict[str, List[Dict[str, Any]]] = {}
+
+        def flush(pad_to: Optional[int] = None):
+            """Forward the queued windows (padding the tail batch) and
+            scatter decoded rows back to their videos in FIFO order."""
+            nonlocal buf, fbuf, buffered
+            if buffered == 0:
+                return
+            batch = np.concatenate(buf) if len(buf) > 1 else buf[0]
+            if pad_to is not None and batch.shape[0] < pad_to:
+                pad = np.zeros((pad_to - batch.shape[0],)
+                               + batch.shape[1:], np.float32)
+                batch = np.concatenate([batch, pad])
+            fbatch = None
+            if fusion:
+                fbatch = (np.concatenate(fbuf) if len(fbuf) > 1
+                          else fbuf[0])
+                if pad_to is not None and fbatch.shape[0] < pad_to:
+                    pad = np.zeros((pad_to - fbatch.shape[0],)
+                                   + fbatch.shape[1:], np.float32)
+                    fbatch = np.concatenate([fbatch, pad])
+            dec = self._forward_decode(
+                self.variables, jnp.asarray(batch), self.flow_variables,
+                jnp.asarray(fbatch) if fbatch is not None else None)
+            rows = {
+                'segments': np.asarray(dec.segments),
+                'scores': np.asarray(dec.scores),
+                'uncertainty': (None if dec.uncertainty is None
+                                else np.asarray(dec.uncertainty)),
+                'actionness': (None if dec.actionness is None
+                               else np.asarray(dec.actionness)),
+            }
+            pos = 0
+            for vid in pending:
+                take = min(vid['need'], buffered - pos)
+                if take <= 0:
+                    break
+                for key, arr in rows.items():
+                    if arr is not None:
+                        vid['got'][key].append(arr[pos:pos + take])
+                vid['need'] -= take
+                pos += take
+            buf, fbuf, buffered = [], [], 0
+            while pending and pending[0]['need'] == 0:
+                self._finish_packed(pending.pop(0), results)
+
+        for item in videos:
+            name, data, sample_count, sample_fps = item[:4]
+            flow_data = item[4] if fusion else None
+            data = transforms.center_crop(data, self.crop_size)
+            offsets = window_offsets(sample_count, self.clip_length,
+                                     self.stride)
+            clips = stack_windows(data, offsets, self.clip_length,
+                                  bucket=1)
+            if fusion:
+                flow_data = transforms.center_crop(flow_data,
+                                                   self.crop_size)
+                fbuf.append(stack_windows(flow_data, offsets,
+                                          self.clip_length, bucket=1))
+            buf.append(clips)
+            buffered += clips.shape[0]
+            pending.append({
+                'name': name, 'offsets': offsets, 'fps': sample_fps,
+                'need': len(offsets),
+                'got': {k: [] for k in ('segments', 'scores',
+                                        'uncertainty', 'actionness')}})
+            while buffered >= max_batch:
+                # split an exactly-full batch off the front of the queue
+                head, rest, acc = [], [], 0
+                for a in buf:
+                    if acc + a.shape[0] <= max_batch:
+                        head.append(a)
+                        acc += a.shape[0]
+                    elif acc < max_batch:
+                        head.append(a[:max_batch - acc])
+                        rest.append(a[max_batch - acc:])
+                        acc = max_batch
+                    else:
+                        rest.append(a)
+                if fusion:
+                    fhead, frest, facc = [], [], 0
+                    for a in fbuf:
+                        if facc + a.shape[0] <= max_batch:
+                            fhead.append(a)
+                            facc += a.shape[0]
+                        elif facc < max_batch:
+                            fhead.append(a[:max_batch - facc])
+                            frest.append(a[max_batch - facc:])
+                            facc = max_batch
+                        else:
+                            frest.append(a)
+                leftover = buffered - max_batch
+                buf, buffered = head, max_batch
+                if fusion:
+                    fleft, fbuf = frest, fhead
+                flush()
+                buf, buffered = rest, leftover
+                if fusion:
+                    fbuf = fleft
+        flush(pad_to=max_batch)
+        assert not pending, 'scheduler left unfinished videos'
+        return results
+
+    def _finish_packed(self, vid: Dict[str, Any],
+                       results: Dict[str, List[Dict[str, Any]]]) -> None:
+        """Post-process one completed video from its collected decodes
+        (same tail as run_video: host numpy or fused device post)."""
+        got = vid['got']
+        n = len(vid['offsets'])
+        segments = np.concatenate(got['segments'])
+        conf = np.concatenate(got['scores'])
+        unct = (np.concatenate(got['uncertainty'])
+                if got['uncertainty'] else None)
+        act = (np.concatenate(got['actionness'])
+               if got['actionness'] else None)
+        if self.device_post:
+            from opental_tpu.infer.decode import DecodedWindows
+
+            def pad(a):
+                if a is None:
+                    return None
+                n_pad = _bucket(n, 8)
+                if n_pad == a.shape[0]:
+                    return jnp.asarray(a)
+                z = np.zeros((n_pad - a.shape[0],) + a.shape[1:], a.dtype)
+                return jnp.asarray(np.concatenate([a, z]))
+
+            dec = DecodedWindows(pad(segments), pad(conf), pad(unct),
+                                 pad(act))
+            results[vid['name']] = self._post_process_on_device(
+                dec, vid['offsets'], vid['fps'], n)
+            return
+        off = np.asarray(vid['offsets'], np.float32)[:, None, None]
+        seconds = (segments + off) / vid['fps']
+        results[vid['name']] = self._post_process(seconds, conf, unct,
+                                                  act)
+
+    def run_videos_shared(self, videos, frames_capacity: int = 32768
+                          ) -> Dict[str, List[Dict[str, Any]]]:
+        """Packed shared-backbone inference: k-window spans from
+        CONSECUTIVE videos pack into full `shared_max_groups` forward
+        chunks over one staged uint8 device buffer per flush.
+
+        The per-video shared path (_run_video_shared) falls back to
+        small bucketed group counts on short videos (a 6-window video
+        runs a 2-group graph), losing the measured 48-span optimum
+        (BASELINE.md "Shared-backbone"). Here videos concatenate into a
+        zero-initialized frame buffer (each video 8-aligned so feature
+        slices stay stride-aligned) and every span carries its own
+        frames_valid = its video's global end — a span whose +8/tail
+        margin reads into the next video's region zero-masks those
+        frames, reproducing per-video zero padding exactly. Buffer
+        lengths bucket to 8192 frames so the whole run compiles a
+        handful of graphs. Same edge-context deviation as the per-video
+        shared path (PARITY.md), same results up to batch-tiling float
+        noise (tests/test_packed_inference.py).
+        """
+        assert self.flow_model is None or self.mesh is None, \
+            'shared_backbone fusion runs are single-device'
+        fusion = self.flow_model is not None
+        k = self.shared_group
+        span = self.stride * (k - 1) + self.clip_length + 8
+        clip, stride = self.clip_length, self.stride
+        results: Dict[str, List[Dict[str, Any]]] = {}
+        staged: List[Dict[str, Any]] = []
+        cursor = 0
+
+        def flush():
+            nonlocal staged, cursor
+            if not staged:
+                return
+            cap = _bucket(cursor + span, 8192)
+            shape = staged[0]['data'].shape[1:]
+            buf = np.zeros((cap,) + shape, np.uint8)
+            fbuf = (np.zeros((cap,) + shape[:-1] + (2,), np.uint8)
+                    if fusion else None)
+            spans: List[Tuple[Dict[str, Any], int]] = []
+            for v in staged:
+                t = v['data'].shape[0]
+                buf[v['start']:v['start'] + t] = v['data']
+                if fusion:
+                    f = v['flow']
+                    fbuf[v['start']:v['start'] + f.shape[0]] = f
+                spans.extend((v, c) for c in v['counts'])
+            video_dev = jnp.asarray(buf)
+            flow_dev = jnp.asarray(fbuf) if fusion else None
+            all_bases = np.concatenate([v['bases'] for v in staged])
+            all_local = np.concatenate([v['local'] for v in staged])
+            all_fv = np.concatenate([v['fv'] for v in staged])
+            n_spans = all_bases.shape[0]
+            for i in range(0, n_spans, self.shared_max_groups):
+                chunk = min(self.shared_max_groups, n_spans - i)
+                if self.mesh is not None:
+                    b = _bucket(chunk, self.mesh.size)
+                else:
+                    b = (1 << (chunk - 1).bit_length() if chunk <= 8
+                         else _bucket(chunk, 8))
+                cb = np.zeros((b,), np.int32)
+                cl = np.zeros((b, k), np.int32)
+                cfv = np.zeros((b,), np.int32)
+                cb[:chunk] = all_bases[i:i + chunk]
+                cl[:chunk] = all_local[i:i + chunk]
+                cfv[:chunk] = all_fv[i:i + chunk]
+                cb[chunk:] = all_bases[i + chunk - 1]  # pad: repeat last
+                cl[chunk:] = all_local[i + chunk - 1]
+                cfv[chunk:] = all_fv[i + chunk - 1]
+                args = (self.variables, video_dev, jnp.asarray(cb),
+                        jnp.asarray(cl), jnp.asarray(cfv))
+                if fusion:
+                    args += (self.flow_variables, flow_dev)
+                dec = self._shared_forward(b)(*args)
+                rows = {
+                    'segments': np.asarray(dec.segments),
+                    'scores': np.asarray(dec.scores),
+                    'uncertainty': (None if dec.uncertainty is None
+                                    else np.asarray(dec.uncertainty)),
+                    'actionness': (None if dec.actionness is None
+                                   else np.asarray(dec.actionness)),
+                }
+                for j in range(chunk):
+                    vid, count = spans[i + j]
+                    sl = slice(j * k, j * k + count)
+                    for key, arr in rows.items():
+                        if arr is not None:
+                            vid['got'][key].append(arr[sl])
+            for v in staged:
+                self._finish_packed(v, results)
+            staged, cursor = [], 0
+
+        for item in videos:
+            name, data, sample_count, sample_fps = item[:4]
+            flow_data = item[4] if fusion else None
+            data = transforms.center_crop(data, self.crop_size)
+            offsets = window_offsets(sample_count, clip, stride)
+            # snap the irregular tail offset up to a multiple of 8 so
+            # its feature slice stays aligned (as _run_video_shared)
+            offsets = [o if o % 8 == 0 else ((o + 7) // 8) * 8
+                       for o in offsets]
+            n = len(offsets)
+            n_groups = -(-n // k)
+            bases = np.zeros((n_groups,), np.int32)
+            local = np.zeros((n_groups, k), np.int32)
+            for g in range(n_groups):
+                grp = offsets[g * k:(g + 1) * k]
+                bases[g] = grp[0]
+                rel = np.asarray(grp, np.int32) - grp[0]
+                local[g, :len(grp)] = rel
+                local[g, len(grp):] = rel[-1]
+            t = data.shape[0]
+            # the video's region must physically contain every span
+            # slice (dynamic_slice clamps starts at the buffer end,
+            # which would silently misalign windows)
+            need = max(int(bases[-1]) + span, t)
+            start = -(-cursor // 8) * 8
+            if staged and start + need > frames_capacity:
+                flush()
+                start = 0
+            counts = [k] * (n_groups - 1) + [n - (n_groups - 1) * k]
+            if fusion:
+                flow_data = transforms.center_crop(flow_data,
+                                                   self.crop_size)
+                flow_data = flow_data[:t]
+            staged.append({
+                'name': name, 'data': data, 'flow': flow_data,
+                'start': start, 'offsets': offsets, 'fps': sample_fps,
+                'bases': start + bases, 'local': local,
+                'fv': np.full((n_groups,), start + min(t, sample_count),
+                              np.int32),
+                'counts': counts,
+                'got': {key: [] for key in ('segments', 'scores',
+                                            'uncertainty', 'actionness')}})
+            cursor = start + need
+        flush()
+        return results
+
     def _shared_forward(self, n_groups: int):
         """One jitted graph per bucketed group COUNT: each of `n_groups`
         spans covers `shared_group` consecutive overlapping windows;
@@ -317,16 +626,22 @@ class InferencePipeline:
             """One stream: span slice -> backbone -> per-window feature
             slices -> pyramid/heads out_dict on the flattened windows."""
 
-            def one_span(base):
+            def one_span(base, valid):
                 sl = jax.lax.dynamic_slice(
                     video_u8, (base,) + (0,) * (video_u8.ndim - 1),
                     (span,) + video_u8.shape[1:])
                 idx = base + jnp.arange(span)
                 x = (sl.astype(jnp.float32) / 255.0) * 2.0 - 1.0
-                return jnp.where((idx < frames_valid)[:, None, None, None],
+                return jnp.where((idx < valid)[:, None, None, None],
                                  x, 0.0)
 
-            x = jax.vmap(one_span)(bases)
+            # frames_valid: scalar (one video) or (n_groups,) vector —
+            # per-span valid ends let spans from DIFFERENT videos share
+            # one staged buffer (run_videos_shared): a span that reads
+            # past its video's end zero-masks the next video's frames,
+            # reproducing per-video zero padding exactly
+            fv = jnp.broadcast_to(frames_valid, bases.shape)
+            x = jax.vmap(one_span)(bases, fv)
             feats = mdl.apply(variables, x,
                               method=type(mdl).backbone_features)
             f4 = feats['Mixed_4f']        # (n_groups, span/4, ...)

@@ -18,6 +18,7 @@ import numpy as np
 
 from opental_tpu import factory
 from opental_tpu.config import Config, config_from_args
+from opental_tpu.data.prefetch import prefetch
 from opental_tpu.data.thumos import get_class_index_map, get_video_info
 from opental_tpu.infer.pipeline import InferencePipeline, proposals_to_json
 from opental_tpu.utils.torch_convert import (align_bn_collections,
@@ -130,13 +131,53 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
     flow_path = te.get('flow_data_path',
                        './datasets/thumos14/test_flow_npy/')
 
-    result_dict = {}
     names = list(video_infos.keys())[:max_videos]
-    for i, video_name in enumerate(names):
-        info = video_infos[video_name]
+    fusion = te.get('fusion', False)
+
+    # testing.packed: cross-video window packing — every forward runs at
+    # the throughput-optimal batch regardless of video length (short
+    # videos underfill per-video batches; BASELINE.md "Window-batch
+    # sweep"). Same results as per-video runs up to last-ulp batch
+    # tiling differences (tests/test_packed_inference.py). With
+    # testing.shared_backbone it packs k-window SPANS across videos
+    # instead (run_videos_shared — full 48-span chunks dataset-wide).
+    # Incompatible with device_ingest (that path keeps the raw video
+    # device-resident per video).
+    if te.get('packed', False) and not te.get('device_ingest', False):
+        def stream():
+            for video_name in names:
+                info = video_infos[video_name]
+                data = np.load(os.path.join(npy_path,
+                                            video_name + '.npy'))
+                item = (video_name, data, info['sample_count'],
+                        info['sample_fps'])
+                if fusion:
+                    item += (np.load(os.path.join(
+                        flow_path, video_name + '.npy')),)
+                yield item
+
+        # load video i+1 from disk while the device chews on video i
+        # (run_videos blocks on device fetches; np.load releases the GIL)
+        result_dict = pipe.run_videos(
+            prefetch(stream()), max_batch=te.get('packed_batch', 128),
+            frames_capacity=te.get('packed_frames', 32768))
+        for i, video_name in enumerate(names):
+            print(f'[{i + 1}/{len(names)}] {video_name}: '
+                  f'{len(result_dict[video_name])} proposals')
+        return proposals_to_json(result_dict, idx_to_class,
+                                 te.get('output_path', './output'),
+                                 te.get('output_json',
+                                        'detection_results.json'))
+
+    def load(video_name):
         data = np.load(os.path.join(npy_path, video_name + '.npy'))
         flow = (np.load(os.path.join(flow_path, video_name + '.npy'))
-                if te.get('fusion', False) else None)
+                if fusion else None)
+        return video_name, data, flow
+
+    result_dict = {}
+    for i, (video_name, data, flow) in enumerate(prefetch(names, load)):
+        info = video_infos[video_name]
         result_dict[video_name] = pipe.run_video(
             data, sample_count=info['sample_count'],
             sample_fps=info['sample_fps'], flow_data=flow)

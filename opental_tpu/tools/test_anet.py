@@ -115,9 +115,9 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
         cls_scores = cls_data['results']
         cls_actions = cls_data['class']
 
-    cls_rng = range(0, num_classes) if os_head else range(1, num_classes)
-    result_dict: Dict[str, List[dict]] = {}
-    for i in range(0, len(names), video_batch):
+    def assemble(i):
+        # runs on the prefetch thread: load + crop + normalize batch
+        # i+1 while the device scores batch i (np.load drops the GIL)
         chunk = names[i:i + video_batch]
         clips = np.stack([prepare_window(
             os.path.join(npy_dir, n + '.npy'), clip_length, crop_size)
@@ -127,6 +127,13 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
             fclips = jnp.asarray(np.stack([prepare_window(
                 os.path.join(flow_dir, n + '.npy'), clip_length,
                 crop_size) for n in chunk]))
+        return i, chunk, clips, fclips
+
+    from opental_tpu.data.prefetch import prefetch
+    cls_rng = range(0, num_classes) if os_head else range(1, num_classes)
+    result_dict: Dict[str, List[dict]] = {}
+    for i, chunk, clips, fclips in prefetch(
+            range(0, len(names), video_batch), assemble):
         dec = forward_decode(variables, jnp.asarray(clips), flow_vars,
                              fclips)
         segs = np.asarray(dec.segments)

@@ -23,6 +23,7 @@ import numpy as np
 from opental_tpu.config import (Config, build_arg_parser,
                                 config_from_namespace)
 from opental_tpu.data.anet import get_video_info as get_anet_video_info
+from opental_tpu.data.prefetch import prefetch
 from opental_tpu.data.thumos import get_class_index_map, get_video_info
 from opental_tpu.infer.pipeline import proposals_to_json
 from opental_tpu.tools.test import build_pipeline
@@ -73,9 +74,10 @@ def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
     else:
         npy = cfg.get_path('dataset.testing.video_data_path')
         results = {}
-        for name in list(thumos_infos)[:max_videos]:
+        load = lambda n: (n, np.load(  # noqa: E731
+            os.path.join(npy, n + '.npy')))
+        for name, data in prefetch(list(thumos_infos)[:max_videos], load):
             info = thumos_infos[name]
-            data = np.load(os.path.join(npy, name + '.npy'))
             results[name] = pipe.run_video(
                 data, sample_count=info['sample_count'],
                 sample_fps=info['sample_fps'])
@@ -92,10 +94,10 @@ def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
         results = {}
         names = [n for n in anet_infos
                  if os.path.exists(os.path.join(anet_npy_dir, n + '.npy'))]
-        for name in names[:max_videos]:
+        load = lambda n: (n, pad_anet_video(np.load(  # noqa: E731
+            os.path.join(anet_npy_dir, n + '.npy'))))
+        for name, data in prefetch(names[:max_videos], load):
             info = anet_infos[name]
-            data = pad_anet_video(np.load(
-                os.path.join(anet_npy_dir, name + '.npy')))
             key = name[2:] if name.startswith('v_') else name
             results[key] = pipe.run_video(
                 data, sample_count=data.shape[0],

@@ -1,0 +1,172 @@
+"""Packed cross-video inference (InferencePipeline.run_videos): windows
+from consecutive videos pack into full fixed-size forward batches; must
+match per-video run_video (inference has no cross-window coupling — BN
+is frozen constants; only last-ulp float differences from different
+batch tiling are allowed, measured ~1e-6 relative). max_batch is set
+small here to force cross-video packing, mid-video batch splits, and a
+padded tail batch in one run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opental_tpu.infer.pipeline import InferencePipeline
+from opental_tpu.models.bdnet import BDNet
+
+CLIP, STRIDE, CROP = 128, 32, 32
+
+
+def _model_and_vars(in_channels=3, seed=0):
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=CLIP, in_channels=in_channels)
+    x0 = jnp.zeros((1, CLIP, CROP, CROP, in_channels), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), x0)
+    return model, variables
+
+
+def _videos(seed=0, channels=3):
+    rng = np.random.RandomState(seed)
+    # lengths chosen to straddle batch boundaries at max_batch=16:
+    # 10+7 windows split a batch; 100 frames = single-window video;
+    # 930 frames = 27 windows spanning two batches
+    specs = [('v_a', 420), ('v_b', 290), ('v_c', 100), ('v_d', 930)]
+    return [(name, rng.randint(0, 255, (t, 40, 40, channels),
+                               dtype=np.uint8), t, 10.0)
+            for name, t in specs]
+
+
+def _assert_same(props_a, props_b):
+    assert len(props_a) == len(props_b)
+    key = lambda p: (p['cls'], -p['score'])  # noqa: E731
+    for a, b in zip(sorted(props_a, key=key), sorted(props_b, key=key)):
+        assert a['cls'] == b['cls']
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
+        np.testing.assert_allclose(a['segment'], b['segment'],
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_packed_matches_per_video():
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    pipe = InferencePipeline(model, variables, **kwargs)
+    videos = _videos()
+
+    packed = pipe.run_videos(iter(videos), max_batch=16)
+    assert set(packed) == {v[0] for v in videos}
+    total = sum(len(p) for p in packed.values())
+    assert total > 0
+    for name, data, sc, fps in videos:
+        ref = pipe.run_video(data, sample_count=sc, sample_fps=fps)
+        _assert_same(ref, packed[name])
+
+
+@pytest.mark.slow
+def test_packed_cli_wiring(tmp_path):
+    """`testing.packed: true` routes run_test through run_videos and
+    writes the same JSON schema with every video present."""
+    import json
+
+    from opental_tpu import factory
+    from opental_tpu.config import load_config
+    from opental_tpu.losses.edl import EDLConfig, EDLState
+    from opental_tpu.tools.test import run_test
+    from opental_tpu.train import checkpoint as ckpt
+    from opental_tpu.train.step import TrainState, make_optimizer
+    from opental_tpu.utils.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / 'synth')
+    cfg_path = make_synthetic_dataset(root, clip_length=128, crop_size=32)
+    cfg = load_config(cfg_path)
+    model = factory.build_model(cfg, frame_num=128)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 128, 32, 32, 3), np.float32))
+    tx = make_optimizer(1e-5, 1e-3)
+    state = TrainState(params=variables['params'],
+                       constants=variables['constants'],
+                       opt_state=tx.init(variables['params']),
+                       edl_state=EDLState.create(EDLConfig(num_classes=4)))
+    ckpt.save(cfg.training['checkpoint_path'], 1, state,
+              jax.random.PRNGKey(0))
+
+    cfg.testing['packed'] = True
+    cfg.testing['packed_batch'] = 8
+    cfg.testing['output_json'] = 'packed.json'
+    out_path = run_test(cfg)
+    payload = json.load(open(out_path))
+    assert set(payload) == {'version', 'results', 'external_data'}
+    assert len(payload['results']) == 2
+    assert sum(len(v) for v in payload['results'].values()) > 0
+
+
+@pytest.mark.slow
+def test_packed_fusion_matches_per_video():
+    """The fusion branch of run_videos splits the RGB and flow queues
+    with duplicated head/rest bookkeeping — exercise a mid-video batch
+    split and a padded tail with both streams and check against
+    run_video fusion (which is itself checked against the reference's
+    parse_output averaging in test_shared_backbone/test_e2e_fusion)."""
+    model, variables = _model_and_vars()
+    flow_model, flow_vars = _model_and_vars(in_channels=2, seed=7)
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    pipe = InferencePipeline(model, variables, flow_model=flow_model,
+                             flow_variables=flow_vars, **kwargs)
+    rgb = _videos(seed=1)
+    flows = _videos(seed=2, channels=2)
+    videos = [rv + (fv[1],) for rv, fv in zip(rgb, flows)]
+
+    packed = pipe.run_videos(iter(videos), max_batch=16)
+    for name, data, sc, fps, flow in videos:
+        ref = pipe.run_video(data, sample_count=sc, sample_fps=fps,
+                             flow_data=flow)
+        _assert_same(ref, packed[name])
+
+
+@pytest.mark.slow
+def test_packed_shared_backbone_matches_per_video():
+    """run_videos_shared packs k-window spans across videos into one
+    staged buffer with per-span frames_valid; results must match the
+    per-video shared path (which is itself feature-slice bit-aligned
+    against the plain forward, tests/test_shared_backbone.py). The tiny
+    frames_capacity forces a mid-run flush; the video set covers tail
+    groups with 1..k-1 real windows and a single-window video whose
+    span margin reads (and must zero-mask) the next video's frames."""
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True, shared_backbone=True)
+    pipe = InferencePipeline(model, variables, **kwargs)
+    videos = _videos(seed=5)
+
+    packed = pipe.run_videos(iter(videos), frames_capacity=2000)
+    assert set(packed) == {v[0] for v in videos}
+    for name, data, sc, fps in videos:
+        ref = pipe.run_video(data, sample_count=sc, sample_fps=fps)
+        _assert_same(ref, packed[name])
+
+
+@pytest.mark.slow
+def test_packed_device_post_matches_host():
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    videos = _videos(seed=3)
+    host = InferencePipeline(model, variables, **kwargs).run_videos(
+        iter(videos), max_batch=16)
+    dev = InferencePipeline(model, variables, device_post=True,
+                            n_candidates=512, **kwargs).run_videos(
+        iter(videos), max_batch=16)
+    key = lambda p: (p['cls'], -p['score'])  # noqa: E731
+    for name in host:
+        a = sorted(host[name], key=key)
+        b = sorted(dev[name], key=key)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x['cls'] == y['cls']
+            np.testing.assert_allclose(x['score'], y['score'], rtol=1e-4)
