@@ -414,6 +414,55 @@ def actionness_report(cfg, cache_dir: str, gt_json: str, cls_idx: str,
     return written
 
 
+def correctness_buckets(pred_json: str, gt_json: str, cls_idx: str,
+                        ood_scoring: str = 'uncertainty',
+                        tiou: float = 0.5) -> Dict[str, np.ndarray]:
+    """Final-proposal ood scores split by classification correctness
+    (draw_distribution.py split_uncertainties_correct :513-557): a
+    known-matched proposal is 'correct' when its predicted label equals
+    the matched GT label, 'incorrect' otherwise; unknown-matched and
+    unmatched ('bg') buckets pass through."""
+    b = bucket_distributions(pred_json, gt_json, cls_idx, ood_scoring,
+                             tiou)
+    scores = np.asarray(b['ood_score']['known'], float)
+    pl = np.asarray(b['pred_label']['known'], float)
+    gl = np.asarray(b['gt_label']['known'], float)
+    return {'correct': scores[pl == gl],
+            'incorrect': scores[pl != gl],
+            'unknown': np.asarray(b['ood_score']['unknown'], float),
+            'bg': np.asarray(b['ood_score']['bg'], float)}
+
+
+def correctness_report(pred_json: str, gt_json: str, cls_idx: str,
+                       out_dir: str, ood_scoring: str = 'uncertainty',
+                       tiou: float = 0.5) -> List[str]:
+    """Correct/incorrect/unknown score distributions + a JSON summary
+    (the draw_distribution.py 'corrected classification' figure family
+    :513-557 + its printed means)."""
+    os.makedirs(out_dir, exist_ok=True)
+    b = correctness_buckets(pred_json, gt_json, cls_idx, ood_scoring,
+                            tiou)
+    written = []
+    path = os.path.join(out_dir, 'dist_correctness.png')
+    plot_dist(path, [b['correct'], b['incorrect'], b['unknown']],
+              ['green', 'orange', 'red'],
+              ['Correct', 'Incorrect', 'Unknown'], xlabel=ood_scoring)
+    written.append(path)
+    path = os.path.join(out_dir, 'dist_correctness_bg.png')
+    plot_dist(path, [np.concatenate([b['correct'], b['incorrect']]),
+                     b['bg']], ['green', 'gray'],
+              ['Matched', 'Background'], xlabel=ood_scoring)
+    written.append(path)
+    summary = {k: {'n': int(len(v)),
+                   'mean': float(np.mean(v)) if len(v) else None}
+               for k, v in b.items()}
+    path = os.path.join(out_dir, 'correctness_summary.json')
+    with open(path, 'w') as f:
+        json.dump(summary, f, indent=1)
+    written.append(path)
+    return written
+
+
 def stats_report(named_preds: Dict[str, str], gt_json: str, cls_idx: str,
                  out_dir: str, ood_scoring: str = 'uncertainty',
                  tiou: float = 0.3) -> List[str]:
@@ -567,6 +616,13 @@ def main(argv=None) -> None:
     s3.add_argument('--which', default='roc', choices=['roc', 'pr'])
     s3.add_argument('--tidx', type=int, default=0)
     s3.add_argument('--out', default='auc_comparison.png')
+    s5 = sub.add_parser('correctness')
+    s5.add_argument('pred_json')
+    s5.add_argument('gt_json')
+    s5.add_argument('--cls_idx', required=True)
+    s5.add_argument('--ood_scoring', default='uncertainty')
+    s5.add_argument('--tiou', type=float, default=0.5)
+    s5.add_argument('--out_dir', default='figures')
     s4 = sub.add_parser('stats')
     s4.add_argument('named', nargs='+', help='name=pred.json entries')
     s4.add_argument('--gt_json', required=True)
@@ -605,6 +661,11 @@ def main(argv=None) -> None:
         named = dict(e.split('=', 1) for e in args.named)
         compare_auc_curves(named, args.out, args.which, args.tidx)
         print('wrote', args.out)
+    elif args.cmd == 'correctness':
+        for w in correctness_report(args.pred_json, args.gt_json,
+                                    args.cls_idx, args.out_dir,
+                                    args.ood_scoring, args.tiou):
+            print('wrote', w)
     elif args.cmd == 'stats':
         named = dict(e.split('=', 1) for e in args.named)
         for w in stats_report(named, args.gt_json, args.cls_idx,

@@ -28,8 +28,54 @@ from opental_tpu.config import config_from_args
 from opental_tpu.data import transforms
 from opental_tpu.data.anet import get_video_info
 from opental_tpu.infer.decode import decode_windows
-from opental_tpu.ops.nms import soft_nms_numpy
+from opental_tpu.ops.nms import soft_nms_device, soft_nms_numpy
 from opental_tpu.tools.test import load_variables
+
+
+def build_device_post(cls_cols, use_edl: bool, os_head: bool,
+                      binary: bool, sigma: float, top_k: int,
+                      n_candidates: int = 512):
+    """One jitted call post-processes a whole video batch: per-video
+    per-class filter + soft-NMS vmapped over (videos, classes) on
+    device, replacing the host's videos x classes python NMS loops (the
+    reference's per-proposal hot spot, anet/test.py:134-160). With 189
+    ANet priors the n_candidates preselect keeps every candidate, so
+    results equal the host path exactly (soft_nms_device ==
+    soft_nms_numpy, tests/test_soft_nms.py)."""
+    conf_floor = 1e-9 if binary else 0.001   # test_binary.py:125
+
+    def post(segments, scores, unct, act, fps):
+        # segments (B,P,2) frames; scores (B,P,K); fps (B,)
+        seconds = segments / fps[:, None, None]
+        k_eff = min(n_candidates, segments.shape[1])
+
+        def per_video(sec, sc, un, ac):
+            def per_class(cl_scores):
+                m = cl_scores > conf_floor
+                if os_head and not binary:
+                    m = m & (ac > 0.5)          # (anet/test.py:135)
+                s = jnp.where(m, cl_scores, 0.0)
+                top_sc, idx = jax.lax.top_k(s, k_eff)
+                cols = [sec[idx], top_sc[:, None]]
+                if use_edl:
+                    cols.append(un[idx][:, None])
+                if os_head:
+                    cols.append(ac[idx][:, None])
+                block = jnp.concatenate(cols, -1)
+                kept, _ = soft_nms_device(block, sigma=sigma,
+                                          top_k=top_k,
+                                          valid=top_sc > 0)
+                return kept
+
+            stacked = jnp.stack([sc[:, c] for c in cls_cols], 0)
+            return jax.vmap(per_class)(stacked)
+
+        zeros = jnp.zeros(segments.shape[:2], segments.dtype)
+        return jax.vmap(per_video)(seconds, scores,
+                                   unct if use_edl else zeros,
+                                   act if os_head else zeros)
+
+    return jax.jit(post)
 
 
 def load_class_names(class_info_path: str) -> Dict[int, str]:
@@ -130,41 +176,62 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
         return i, chunk, clips, fclips
 
     from opental_tpu.data.prefetch import prefetch
-    cls_rng = range(0, num_classes) if os_head else range(1, num_classes)
+    cls_rng = list(range(0, num_classes) if os_head
+                   else range(1, num_classes))
+    sigma = te.get('nms_sigma', 0.85)
+    top_k = te.get('top_k', 5000)
+    # fused on-device post-processing by default (189 priors fit the
+    # candidate preselect, so results == host path; testing.device_nms:
+    # false restores the host numpy loop)
+    post_fn = (build_device_post(cls_rng, use_edl, os_head, binary,
+                                 sigma, top_k,
+                                 te.get('n_candidates', 512))
+               if te.get('device_nms', True) else None)
     result_dict: Dict[str, List[dict]] = {}
     for i, chunk, clips, fclips in prefetch(
             range(0, len(names), video_batch), assemble):
         dec = forward_decode(variables, jnp.asarray(clips), flow_vars,
                              fclips)
-        segs = np.asarray(dec.segments)
-        scores = np.asarray(dec.scores)
-        unct = (np.asarray(dec.uncertainty) if use_edl else None)
-        act = (np.asarray(dec.actionness) if os_head else None)
+        if post_fn is not None:
+            fps_arr = jnp.asarray([video_infos[n]['fps'] for n in chunk],
+                                  jnp.float32)
+            blocks = np.asarray(post_fn(dec.segments, dec.scores,
+                                        dec.uncertainty, dec.actionness,
+                                        fps_arr))   # (B, C, k_eff, D+1)
+        else:
+            segs = np.asarray(dec.segments)
+            scores = np.asarray(dec.scores)
+            unct = (np.asarray(dec.uncertainty) if use_edl else None)
+            act = (np.asarray(dec.actionness) if os_head else None)
         for vi, name in enumerate(chunk):
             fps = video_infos[name]['fps']
             duration = video_infos[name]['duration']
-            seconds = segs[vi] / fps
             props = []
-            for cl in cls_rng:
-                if binary:
-                    # binary filtering keeps everything above 1e-9 and
-                    # applies no actionness gate (test_binary.py:125)
-                    mask = scores[vi, :, cl] > 1e-9
+            for ci, cl in enumerate(cls_rng):
+                if post_fn is not None:
+                    blk = blocks[vi, ci]
+                    kept = blk[(blk[:, -1] > 0) & (blk[:, 2] > 0)][:, :-1]
                 else:
-                    mask = scores[vi, :, cl] > 0.001  # (anet/test.py:134)
+                    seconds = segs[vi] / fps
+                    if binary:
+                        # binary filtering keeps everything above 1e-9,
+                        # no actionness gate (test_binary.py:125)
+                        mask = scores[vi, :, cl] > 1e-9
+                    else:
+                        mask = scores[vi, :, cl] > 0.001  # (test.py:134)
+                        if os_head:
+                            mask &= act[vi] > 0.5
+                    if not mask.any():
+                        continue
+                    cols = [seconds[mask],
+                            scores[vi, mask, cl][:, None]]
+                    if use_edl:
+                        cols.append(unct[vi, mask][:, None])
                     if os_head:
-                        mask &= act[vi] > 0.5
-                if not mask.any():
-                    continue
-                cols = [seconds[mask], scores[vi, mask, cl][:, None]]
-                if use_edl:
-                    cols.append(unct[vi, mask][:, None])
-                if os_head:
-                    cols.append(act[vi, mask][:, None])
-                block = np.concatenate(cols, 1)
-                kept, _ = soft_nms_numpy(block,
-                                         sigma=te.get('nms_sigma', 0.85),
-                                         top_k=te.get('top_k', 5000))
+                        cols.append(act[vi, mask][:, None])
+                    block = np.concatenate(cols, 1)
+                    kept, _ = soft_nms_numpy(block, sigma=sigma,
+                                             top_k=top_k)
                 cl_idx = cl + 1 if os_head else cl
                 for row in kept:
                     if row[2] <= 0:

@@ -54,3 +54,51 @@ def test_stats_report(tmp_path):
     names = {os.path.basename(w) for w in written}
     assert {'stats.png', 'stats_ood_scores.png', 'wi_methodA.png',
             'wi_methodB.png'} <= names
+
+
+def test_correctness_report(tmp_path):
+    """correct/incorrect/unknown/bg buckets partition the matched
+    predictions (split_uncertainties_correct semantics) and the figure
+    set + JSON summary are written."""
+    from opental_tpu.tools.analysis import (correctness_buckets,
+                                            correctness_report)
+    gt, pred, cls = make_dataset(tmp_path, seed=2)
+    # craft guaranteed matches: two disjoint known GTs per video, one
+    # prediction copying each — same label (correct) / wrong (incorrect)
+    database = {}
+    results = {}
+    for v in range(3):
+        vid = f'crafted_{v}'
+        database[vid] = {'subset': 'test', 'annotations': [
+            {'segment': [10.0, 20.0], 'label': 'Run'},
+            {'segment': [40.0, 50.0], 'label': 'Jump'},
+            {'segment': [70.0, 80.0], 'label': 'UnknownAction'}]}
+        results[vid] = [
+            {'label': 'Run', 'score': 0.9, 'segment': [10.0, 20.0],
+             'uncertainty': 0.2, 'actionness': 0.8},
+            {'label': 'Swim', 'score': 0.8, 'segment': [40.0, 50.0],
+             'uncertainty': 0.6, 'actionness': 0.7},
+            {'label': 'Jump', 'score': 0.7, 'segment': [70.0, 80.0],
+             'uncertainty': 0.9, 'actionness': 0.5},
+            {'label': 'Run', 'score': 0.5, 'segment': [90.0, 95.0],
+             'uncertainty': 0.5, 'actionness': 0.4}]
+    old_gt = json.load(open(gt))
+    old_gt['database'].update(database)
+    json.dump(old_gt, open(gt, 'w'))
+    old_pred = json.load(open(pred))
+    old_pred['results'].update(results)
+    json.dump(old_pred, open(pred, 'w'))
+
+    b = correctness_buckets(pred, gt, cls, tiou=0.1)
+    n_pred = sum(len(v) for v in json.load(open(pred))['results']
+                 .values())
+    assert (len(b['correct']) + len(b['incorrect']) + len(b['unknown'])
+            + len(b['bg'])) == n_pred
+    assert len(b['correct']) > 0 and len(b['incorrect']) > 0
+
+    out = str(tmp_path / 'figs_c')
+    written = correctness_report(pred, gt, cls, out, tiou=0.1)
+    assert all(os.path.exists(w) for w in written)
+    summary = json.load(open(os.path.join(out,
+                                          'correctness_summary.json')))
+    assert summary['correct']['n'] == len(b['correct'])

@@ -40,6 +40,28 @@ def test_anet_train_test_threshold_eval(tmp_path):
     # output keys strip the v_ prefix (anet/test.py:183)
     assert all(not k.startswith('v_') for k in payload['results'])
 
+    # device post-processing (the default above) must equal the host
+    # numpy path: 189 priors fit inside the candidate preselect, and
+    # soft_nms_device == soft_nms_numpy is separately exact-tested
+    host_cfg = cfg.clone()
+    host_cfg['testing']['device_nms'] = False
+    host_cfg['testing']['output_json'] = 'detections_host.json'
+    host_payload = json.load(open(run_test_anet(host_cfg,
+                                                video_batch=2)))
+    assert set(host_payload['results']) == set(payload['results'])
+    for vid in payload['results']:
+        dev = sorted(payload['results'][vid],
+                     key=lambda p: (p['label'], -p['score']))
+        host = sorted(host_payload['results'][vid],
+                      key=lambda p: (p['label'], -p['score']))
+        assert len(dev) == len(host), vid
+        for a, b in zip(dev, host):
+            assert a['label'] == b['label']
+            np.testing.assert_allclose(a['score'], b['score'],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(a['segment'], b['segment'],
+                                       rtol=1e-4, atol=1e-4)
+
     ev = DetectionEvaluator(
         os.path.join(root, 'annotations', 'gt_open.json'), out_path,
         os.path.join(root, 'annotations', 'action_known.txt'),
