@@ -104,13 +104,31 @@ def calibrate(cfg: Config, pipeline, max_videos: Optional[int] = None
         cfg.get_path('dataset.class_info_path'))
     npy_path = cfg.get_path('dataset.training.video_data_path')
 
-    result_dict = {}
-    for name in list(video_infos)[:max_videos]:
-        info = video_infos[name]
-        data = np.load(os.path.join(npy_path, name + '.npy'))
-        result_dict[name] = pipeline.run_video(
-            data, sample_count=info['sample_count'],
-            sample_fps=info['sample_fps'])
+    names = list(video_infos)[:max_videos]
+    from opental_tpu.data.prefetch import prefetch
+    if te.get('packed', False) and not getattr(pipeline, 'device_ingest',
+                                               False):
+        # calibration scans the whole TRAINING set — the packed path's
+        # full fixed-size batches pay off most here
+        def stream():
+            for name in names:
+                info = video_infos[name]
+                yield (name, np.load(os.path.join(npy_path,
+                                                  name + '.npy')),
+                       info['sample_count'], info['sample_fps'])
+
+        result_dict = pipeline.run_videos(
+            prefetch(stream()), max_batch=te.get('packed_batch', 128),
+            frames_capacity=te.get('packed_frames', 32768))
+    else:
+        load = lambda n: (n, np.load(  # noqa: E731
+            os.path.join(npy_path, n + '.npy')))
+        result_dict = {}
+        for name, data in prefetch(names, load):
+            info = video_infos[name]
+            result_dict[name] = pipeline.run_video(
+                data, sample_count=info['sample_count'],
+                sample_fps=info['sample_fps'])
 
     threshold = threshold_from_results(result_dict, scoring)
     proposals_to_json(result_dict, idx_to_class,

@@ -73,14 +73,23 @@ def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
         thumos_out = json.load(open(thumos_resfile))
     else:
         npy = cfg.get_path('dataset.testing.video_data_path')
-        results = {}
-        load = lambda n: (n, np.load(  # noqa: E731
-            os.path.join(npy, n + '.npy')))
-        for name, data in prefetch(list(thumos_infos)[:max_videos], load):
-            info = thumos_infos[name]
-            results[name] = pipe.run_video(
-                data, sample_count=info['sample_count'],
-                sample_fps=info['sample_fps'])
+        names = list(thumos_infos)[:max_videos]
+        if te.get('packed', False) and not pipe.device_ingest:
+            results = pipe.run_videos(prefetch(
+                (n, np.load(os.path.join(npy, n + '.npy')),
+                 thumos_infos[n]['sample_count'],
+                 thumos_infos[n]['sample_fps']) for n in names),
+                max_batch=te.get('packed_batch', 128),
+                frames_capacity=te.get('packed_frames', 32768))
+        else:
+            results = {}
+            load = lambda n: (n, np.load(  # noqa: E731
+                os.path.join(npy, n + '.npy')))
+            for name, data in prefetch(names, load):
+                info = thumos_infos[name]
+                results[name] = pipe.run_video(
+                    data, sample_count=info['sample_count'],
+                    sample_fps=info['sample_fps'])
         proposals_to_json(results, idx_to_class, out_path,
                           'thumos14_open_rgb.json')
         thumos_out = json.load(open(thumos_resfile))
@@ -91,17 +100,26 @@ def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
     if os.path.exists(anet_resfile):
         anet_out = json.load(open(anet_resfile))
     else:
-        results = {}
         names = [n for n in anet_infos
                  if os.path.exists(os.path.join(anet_npy_dir, n + '.npy'))]
-        load = lambda n: (n, pad_anet_video(np.load(  # noqa: E731
-            os.path.join(anet_npy_dir, n + '.npy'))))
-        for name, data in prefetch(names[:max_videos], load):
-            info = anet_infos[name]
-            key = name[2:] if name.startswith('v_') else name
-            results[key] = pipe.run_video(
-                data, sample_count=data.shape[0],
-                sample_fps=info['fps'])
+
+        def _anet_item(n):
+            data = pad_anet_video(np.load(
+                os.path.join(anet_npy_dir, n + '.npy')))
+            key = n[2:] if n.startswith('v_') else n
+            return key, data, data.shape[0], anet_infos[n]['fps']
+
+        if te.get('packed', False) and not pipe.device_ingest:
+            results = pipe.run_videos(
+                prefetch(names[:max_videos], _anet_item),
+                max_batch=te.get('packed_batch', 128),
+                frames_capacity=te.get('packed_frames', 32768))
+        else:
+            results = {}
+            for key, data, sc, fps in prefetch(names[:max_videos],
+                                               _anet_item):
+                results[key] = pipe.run_video(data, sample_count=sc,
+                                              sample_fps=fps)
         proposals_to_json(results, idx_to_class, out_path,
                           'anet_open_rgb.json')
         anet_out = json.load(open(anet_resfile))

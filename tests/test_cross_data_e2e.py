@@ -78,6 +78,23 @@ def test_cross_data_merged_json(tmp_path):
                           for a in info['annotations'])
         assert (key in results) == (not has_overlap), (key, has_overlap)
 
+    # testing.packed routes both passes through run_videos and must
+    # reproduce the per-video results (up to batch-tiling float noise)
+    packed_cfg = cfg.clone()
+    packed_cfg['testing']['packed'] = True
+    packed_cfg['testing']['packed_batch'] = 8
+    packed_cfg['testing']['output_path'] = str(tmp_path / 'out_packed')
+    packed_payload = json.load(open(run_cross_data(
+        packed_cfg, anet_video_info=anet_info,
+        anet_npy_dir=os.path.join(anet_root, 'npy'),
+        overlapping_class_file=overlap_file)))
+    # tie-aware matcher: constant-padded synthetic windows produce
+    # exactly-tied raw scores, so batch-tiling float noise can flip
+    # soft-NMS pick order for a few deep proposals (same artifact the
+    # composed-parity harness handles; see proposal_matching.py)
+    from proposal_matching import assert_proposal_parity
+    assert_proposal_parity(payload, packed_payload, min_total=20)
+
     # idempotence: per-pass JSONs are reused on a second run
     mtime = os.path.getmtime(os.path.join(
         cfg.testing['output_path'], 'thumos14_open_rgb.json'))

@@ -101,6 +101,18 @@ def test_packed_cli_wiring(tmp_path):
     assert len(payload['results']) == 2
     assert sum(len(v) for v in payload['results'].values()) > 0
 
+    # threshold calibration rides the same packed path and must yield
+    # the per-video threshold (scores differ only by float noise)
+    from opental_tpu.openset.threshold import calibrate
+    from opental_tpu.tools.test import build_pipeline
+    pipe, _, _ = build_pipeline(cfg)
+    cfg.testing['output_json'] = 'thr_packed.json'
+    thr_packed = calibrate(cfg, pipe)
+    cfg.testing['packed'] = False
+    cfg.testing['output_json'] = 'thr_plain.json'
+    thr_plain = calibrate(cfg, pipe)
+    np.testing.assert_allclose(thr_packed, thr_plain, rtol=1e-4)
+
 
 @pytest.mark.slow
 def test_packed_fusion_matches_per_video():
