@@ -409,11 +409,23 @@ def compute_wilderness_impact(ground_truth: Records, prediction: Records,
                               video_list: Sequence[str],
                               known_classes: Dict[str, int],
                               tiou_thresholds: np.ndarray):
-    """Wilderness impact (eval_detection.py:604-728)."""
+    """Wilderness impact (eval_detection.py:604-728).
+
+    The returned stats dict also carries column-aligned per-prediction
+    'scores', 'ood_scores' and 'max_tious' arrays like the reference's
+    stats-producing variant (eval_detection.py:513-601
+    compute_wilderness_impact1, whose pickle feeds
+    experiments/analyze_stats.py) — except that here the TP/FP category
+    marks come from the same sorted-IoU + lock-fallback matcher that
+    produces the parity-tested WI values, not v1's argmax-GT-only
+    matcher."""
     n_t = len(tiou_thresholds)
     n_k = len(known_classes)
     n_pred = len(prediction['video-id'])
     wi = np.zeros((n_t, n_k))
+    scores = np.zeros(n_pred)
+    oods = np.zeros(n_pred)
+    max_tious = np.zeros(n_pred)
     tp_u2u = np.zeros((n_t, n_pred))
     tp_k2k = np.zeros((n_t, n_k, n_pred))
     fp_u2k = np.zeros((n_t, n_k, n_pred))
@@ -438,9 +450,13 @@ def compute_wilderness_impact(ground_truth: Records, prediction: Records,
         n_gt = len(gt['video-id'])
         gt_segs = np.stack([gt['t-start'], gt['t-end']], 1)
         lock = np.full((n_t, n_gt), -1.0)
+        n_pr = len(pr['video-id'])
+        scores[vidx_offset:vidx_offset + n_pr] = pr['score']
+        oods[vidx_offset:vidx_offset + n_pr] = pr['ood_score']
         for idx in range(len(pr['video-id'])):
             tiou = segment_iou(
                 np.array([pr['t-start'][idx], pr['t-end'][idx]]), gt_segs)
+            max_tious[vidx_offset + idx] = tiou.max() if n_gt else 0.0
             sorted_j = np.argsort(tiou)[::-1]
             label_pred = int(pr['label'][idx])
             col = vidx_offset + idx
@@ -473,7 +489,8 @@ def compute_wilderness_impact(ground_truth: Records, prediction: Records,
 
     stats = {'tp_k2k': tp_k2k, 'tp_u2u': tp_u2u, 'fp_k2k': fp_k2k,
              'fp_k2u': fp_k2u, 'fp_u2k': fp_u2k, 'fp_bg2k': fp_bg2k,
-             'fp_bg2u': fp_bg2u, 'num_gt': num_gt}
+             'fp_bg2u': fp_bg2u, 'num_gt': num_gt, 'scores': scores,
+             'ood_scores': oods, 'max_tious': max_tious}
 
     fp_k2u = fp_k2u + fp_bg2u
     fp_k2k = fp_k2k + fp_bg2k

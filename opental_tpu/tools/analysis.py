@@ -530,6 +530,102 @@ def stats_report(named_preds: Dict[str, str], gt_json: str, cls_idx: str,
     return written
 
 
+WI_CATEGORIES = ('TP_u2u', 'TP_k2k', 'FP_u2k', 'FP_k2k', 'FP_k2u',
+                 'FP_bg2u', 'FP_bg2k')
+
+
+def wi_category_masks(stats: Dict, tidx: int) -> Dict[str, np.ndarray]:
+    """Per-prediction membership mask of each of the 7 TP/FP categories
+    at tIoU row `tidx`, from the evaluator's WI stats arrays (the same
+    decomposition experiments/analyze_stats.py:33-56 reads from the
+    reference's open_stats.pkl). Every prediction of a video with
+    ground truth falls in exactly one category per tIoU row."""
+    return {
+        'TP_u2u': stats['tp_u2u'][tidx] > 0,
+        'TP_k2k': stats['tp_k2k'][tidx].sum(axis=0) > 0,
+        'FP_u2k': stats['fp_u2k'][tidx].sum(axis=0) > 0,
+        'FP_k2k': stats['fp_k2k'][tidx].sum(axis=0) > 0,
+        'FP_k2u': stats['fp_k2u'][tidx] > 0,
+        'FP_bg2u': stats['fp_bg2u'][tidx] > 0,
+        'FP_bg2k': stats['fp_bg2k'][tidx].sum(axis=0) > 0,
+    }
+
+
+def _mean_ci(values: np.ndarray) -> tuple:
+    """mean and 1.96*SEM (analyze_stats.py:59-60 get_mean_stds), 0s on
+    an empty category (the reference would propagate NaN)."""
+    if values.size == 0:
+        return 0.0, 0.0
+    return float(np.mean(values)), float(
+        np.std(values) / np.sqrt(len(values)) * 1.96)
+
+
+def wi_stats_report(pred_json: str, gt_json: str, cls_idx: str,
+                    out_dir: str, ood_scoring: str = 'uncertainty',
+                    tious: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7)
+                    ) -> List[str]:
+    """The per-category analyze_stats.py figure set: segment counts per
+    TP/FP category over the tIoU sweep (stats_categories.png,
+    experiments/analyze_stats.py:33-56), mean confidence score
+    (stats_scores.png, :95-121), mean max-tIoU (stats_tiou.png,
+    :124-149) and mean OOD score at every other tIoU
+    (stats_ood_scores_categories.png, :63-91), all with 1.96-SEM error
+    bars. Category marks and the per-prediction score/ood/max-tIoU
+    columns come from the evaluator's WI pass (eval/detection.py
+    compute_wilderness_impact stats)."""
+    from opental_tpu.eval.detection import DetectionEvaluator
+    plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
+    tious = np.asarray(list(tious), float)
+    ev = DetectionEvaluator(gt_json, pred_json, cls_idx,
+                            tiou_thresholds=tious,
+                            ood_scoring=ood_scoring, subset=['test'],
+                            openset=True)
+    ev.evaluate('WI')
+    stats = ev.stats
+    x = np.arange(len(WI_CATEGORIES))
+    written = []
+
+    def bar_figure(values_per_pred, fname, ylabel, sel=None,
+                   counts=False):
+        idxs = sel if sel is not None else range(len(tious))
+        plt.figure(figsize=(9, 5))
+        w = 0.8 / len(list(idxs))
+        for j, i in enumerate(idxs):
+            masks = wi_category_masks(stats, i)
+            if counts:
+                vals = [int(masks[c].sum()) for c in WI_CATEGORIES]
+                errs = None
+            else:
+                pairs = [_mean_ci(values_per_pred[masks[c]])
+                         for c in WI_CATEGORIES]
+                vals = [p[0] for p in pairs]
+                errs = [p[1] for p in pairs]
+            off = (j - (len(list(idxs)) - 1) / 2) * w
+            plt.bar(x + off, vals, yerr=errs, width=w, alpha=0.6,
+                    ecolor='black', label=f'tIoU={tious[i]:g}')
+        plt.xticks(x, WI_CATEGORIES, fontsize=8)
+        plt.ylabel(ylabel)
+        plt.legend(fontsize=8, ncol=3)
+        plt.tight_layout()
+        path = os.path.join(out_dir, fname)
+        plt.savefig(path)
+        plt.close()
+        written.append(path)
+
+    bar_figure(None, 'stats_categories.png', 'Number of Segments',
+               counts=True)
+    bar_figure(np.asarray(stats['scores']), 'stats_scores.png',
+               'Confidence Scores of Segments')
+    bar_figure(np.asarray(stats['max_tious']), 'stats_tiou.png',
+               'Max tIoU values')
+    bar_figure(np.asarray(stats['ood_scores']),
+               'stats_ood_scores_categories.png',
+               f'OOD Scores ({ood_scoring})',
+               sel=list(range(0, len(tious), 2)))
+    return written
+
+
 def plot_gradnorm(metrics_jsonl: str, out_png: str,
                   key: str = 'grad_norm') -> None:
     """Grad-norm (or any metric) over steps from the train JSONL log
@@ -623,6 +719,14 @@ def main(argv=None) -> None:
     s5.add_argument('--ood_scoring', default='uncertainty')
     s5.add_argument('--tiou', type=float, default=0.5)
     s5.add_argument('--out_dir', default='figures')
+    s6 = sub.add_parser('wi_stats')
+    s6.add_argument('pred_json')
+    s6.add_argument('gt_json')
+    s6.add_argument('--cls_idx', required=True)
+    s6.add_argument('--ood_scoring', default='uncertainty')
+    s6.add_argument('--tious', type=float, nargs='+',
+                    default=[0.3, 0.4, 0.5, 0.6, 0.7])
+    s6.add_argument('--out_dir', default='figures')
     s4 = sub.add_parser('stats')
     s4.add_argument('named', nargs='+', help='name=pred.json entries')
     s4.add_argument('--gt_json', required=True)
@@ -670,6 +774,11 @@ def main(argv=None) -> None:
         named = dict(e.split('=', 1) for e in args.named)
         for w in stats_report(named, args.gt_json, args.cls_idx,
                               args.out_dir, args.ood_scoring, args.tiou):
+            print('wrote', w)
+    elif args.cmd == 'wi_stats':
+        for w in wi_stats_report(args.pred_json, args.gt_json,
+                                 args.cls_idx, args.out_dir,
+                                 args.ood_scoring, args.tious):
             print('wrote', w)
     elif args.cmd in ('distribution', 'actionness', 'per_class'):
         from opental_tpu.config import load_config

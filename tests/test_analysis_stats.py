@@ -56,6 +56,70 @@ def test_stats_report(tmp_path):
             'wi_methodB.png'} <= names
 
 
+def test_wi_stats_report(tmp_path):
+    """7-category TP/FP decomposition (analyze_stats.py figure set):
+    the categories partition every prediction at each tIoU row, the
+    per-prediction scores/max_tious columns align with the category
+    marks on a crafted video, and all 4 figures are written."""
+    import numpy as np
+
+    from opental_tpu.eval.detection import DetectionEvaluator
+    from opental_tpu.tools.analysis import (WI_CATEGORIES,
+                                            wi_category_masks,
+                                            wi_stats_report)
+
+    gt, pred, cls = make_dataset(tmp_path, seed=3)
+    # one crafted video with a known outcome per category column:
+    # pred0 matches Run exactly (TP_k2k, score .9, max_tiou 1.0);
+    # pred1 overlaps nothing (FP_bg2k, max_tiou 0)
+    database = {'crafted_wi': {'subset': 'test', 'annotations': [
+        {'segment': [10.0, 20.0], 'label': 'Run'}]}}
+    results = {'crafted_wi': [
+        {'label': 'Run', 'score': 0.9, 'segment': [10.0, 20.0],
+         'uncertainty': 0.25, 'actionness': 0.8},
+        {'label': 'Jump', 'score': 0.4, 'segment': [60.0, 70.0],
+         'uncertainty': 0.75, 'actionness': 0.3}]}
+    g = json.load(open(gt)); g['database'].update(database)
+    json.dump(g, open(gt, 'w'))
+    p = json.load(open(pred)); p['results'].update(results)
+    json.dump(p, open(pred, 'w'))
+
+    tious = np.array([0.3, 0.5, 0.7])
+    ev = DetectionEvaluator(gt, pred, cls, tiou_thresholds=tious,
+                            ood_scoring='uncertainty', subset=['test'],
+                            openset=True)
+    ev.evaluate('WI')
+    stats = ev.stats
+    n_pred = len(stats['scores'])
+    for tidx in range(len(tious)):
+        masks = wi_category_masks(stats, tidx)
+        total = np.zeros(n_pred)
+        for c in WI_CATEGORIES:
+            total += masks[c].astype(float)
+        # every prediction of a video with GT lands in EXACTLY one
+        # category (all make_dataset videos have GT)
+        np.testing.assert_array_equal(total, np.ones(n_pred))
+
+    # column alignment: the crafted exact-match prediction is TP_k2k
+    # with score .9 / max_tiou 1; its no-overlap sibling is FP_bg2k
+    # with score .4 / max_tiou 0
+    masks = wi_category_masks(stats, 0)
+    tp_cols = np.where(masks['TP_k2k'] & (stats['max_tious'] > 0.999))[0]
+    assert any(abs(stats['scores'][c] - 0.9) < 1e-9 for c in tp_cols)
+    bg_cols = np.where(masks['FP_bg2k'] & (stats['max_tious'] == 0)
+                       & (np.abs(stats['scores'] - 0.4) < 1e-9))[0]
+    assert len(bg_cols) >= 1
+    # ood_scores column carries the evaluator's scoring formula
+    assert np.all((stats['ood_scores'] >= 0) & (stats['ood_scores'] <= 1))
+
+    out = str(tmp_path / 'figs_wi')
+    written = wi_stats_report(pred, gt, cls, out, tious=tious)
+    names = {os.path.basename(w) for w in written}
+    assert names == {'stats_categories.png', 'stats_scores.png',
+                     'stats_tiou.png', 'stats_ood_scores_categories.png'}
+    assert all(os.path.exists(w) for w in written)
+
+
 def test_correctness_report(tmp_path):
     """correct/incorrect/unknown/bg buckets partition the matched
     predictions (split_uncertainties_correct semantics) and the figure
