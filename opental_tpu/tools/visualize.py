@@ -45,8 +45,10 @@ def timeline_figure(video: str, preds: List[dict], gts: List[dict],
     ax_gt.set_yticks([])
 
     for i, p in enumerate(preds):
-        rejected = (ood_threshold is not None
-                    and (1.0 - p.get('uncertainty', 0.0)) < ood_threshold)
+        thr = (ood_threshold.get(video) if isinstance(ood_threshold, dict)
+               else ood_threshold)
+        rejected = (thr is not None
+                    and (1.0 - p.get('uncertainty', 0.0)) < thr)
         color = 'red' if rejected else 'tab:blue'
         y = 1.0 - (i + 0.5) / max(len(preds), 1)
         ax_pred.hlines(y, p['segment'][0], p['segment'][1], color=color,
@@ -100,6 +102,8 @@ def action_bar_figure(video: str, named_preds: Dict[str, List[dict]],
               for g in gts])
     for ri, (name, preds) in enumerate(named_preds.items(), start=1):
         thr = (thresholds or {}).get(name)
+        if isinstance(thr, dict):          # per-video searched cutoffs
+            thr = thr.get(video)
         segs = []
         for p in sorted(preds, key=lambda q: q['score']):
             if p['score'] < score_thresh:
@@ -134,6 +138,77 @@ def read_threshold(trainset_result_json: str,
         return float(json.load(f)['external_data']['threshold'])
 
 
+def _segment_iou(seg, gt_segs: np.ndarray) -> np.ndarray:
+    s, e = seg
+    inter = (np.minimum(e, gt_segs[:, 1])
+             - np.maximum(s, gt_segs[:, 0])).clip(min=0)
+    union = (gt_segs[:, 1] - gt_segs[:, 0]) + (e - s) - inter
+    return inter / np.maximum(union, 1e-8)
+
+
+def match_preds_with_gt(preds: List[dict], gts: List[dict],
+                        unct_thresh: float, tiou: float = 0.3
+                        ) -> List[tuple]:
+    """Greedy per-video pred->GT matching for the demo threshold search
+    (demo/visualization.py:100-118): each prediction takes the
+    highest-IoU still-unlocked GT at IoU >= tiou, is relabelled
+    '__unknown__' when its uncertainty exceeds `unct_thresh`, and
+    returns (pred_label, gt_label) pairs for the matched ones.
+    Deviation: the reference loop breaks on the first BELOW-threshold
+    GT and then matches that background index — an evident demo bug; we
+    match the intended above-threshold GT instead."""
+    if not gts:
+        return []
+    gt_segs = np.array([g['segment'] for g in gts], float)
+    lock = np.full(len(gts), -1)
+    pairs = []
+    for idx, p in enumerate(preds):
+        tiou_arr = _segment_iou(p['segment'], gt_segs)
+        order = np.argsort(tiou_arr)[::-1]
+        for j in order:
+            if tiou_arr[j] < tiou:
+                break
+            if lock[j] >= 0:
+                continue
+            label = ('__unknown__'
+                     if p.get('uncertainty', 0.0) > unct_thresh
+                     else p['label'])
+            lock[j] = idx
+            pairs.append((label, gts[j]['label']))
+            break
+    return pairs
+
+
+def search_video_thresholds(preds_by_video: Dict[str, List[dict]],
+                            gt_db: Dict[str, dict], videos: List[str],
+                            tiou: float = 0.3) -> Dict[str, float]:
+    """Per-video best uncertainty cutoff (demo/visualization.py
+    get_thresholds OpenTAL route, :121-142): sweep candidates
+    0.05..0.95 and pick the one maximizing (#correctly-labelled matched
+    preds - #incorrect), where a GT labelled unknown counts correct iff
+    the prediction was rejected. Returned values are CONFIDENCE cutoffs
+    (1 - uncertainty candidate) so they compose directly with
+    action_bar_figure/timeline_figure rejection."""
+    # predictions can only carry known-class labels, so a GT label
+    # outside this set is an unknown action (matches a rejected pred)
+    known = {p['label'] for preds in preds_by_video.values()
+             for p in preds} - {'__unknown__'}
+    out = {}
+    for video in videos:
+        gts = gt_db.get(video, {}).get('annotations', [])
+        preds = preds_by_video.get(video, [])
+        candidates = np.arange(0.05, 1.0, 0.05)
+        counts = np.zeros(len(candidates))
+        for i, t in enumerate(candidates):
+            for label_pred, label_gt in match_preds_with_gt(
+                    preds, gts, unct_thresh=t, tiou=tiou):
+                if label_gt not in known:
+                    label_gt = '__unknown__'
+                counts[i] += 1 if label_pred == label_gt else -1
+        out[video] = float(1.0 - candidates[int(np.argmax(counts))])
+    return out
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument('pred_json', help='pred.json or name=pred.json pairs',
@@ -147,6 +222,13 @@ def main(argv=None) -> None:
     p.add_argument('--bars', action='store_true',
                    help='multi-method color-bar strips '
                         '(demo/visualization.py style)')
+    p.add_argument('--thresholds', nargs='*', default=[],
+                   help='per-method OOD cutoff routing for --bars '
+                        '(demo/visualization.py get_thresholds:121-151): '
+                        'name=0.7 fixed, name=path/to/threshold.json '
+                        'calibrated (read_threshold), or name=search '
+                        'per-video best-match sweep')
+    p.add_argument('--search_tiou', type=float, default=0.3)
     args = p.parse_args(argv)
 
     if args.bars:
@@ -157,6 +239,17 @@ def main(argv=None) -> None:
                 json.load(open(path))['results']
         gt = json.load(open(args.gt_json))['database']
         videos = args.videos or list(next(iter(named.values())))[:5]
+        thresholds = {}
+        for entry in args.thresholds:
+            name, _, spec = entry.partition('=')
+            if spec == 'search':
+                thresholds[name] = search_video_thresholds(
+                    named.get(name, {}), gt, videos,
+                    tiou=args.search_tiou)
+            elif os.path.exists(spec):
+                thresholds[name] = read_threshold(spec)
+            else:
+                thresholds[name] = float(spec)
         os.makedirs(args.out_dir, exist_ok=True)
         for video in videos:
             gts = gt.get(video, {}).get('annotations', [])
@@ -168,7 +261,7 @@ def main(argv=None) -> None:
                               {n: r.get(video, []) for n, r in
                                named.items()},
                               gts, duration, out,
-                              thresholds=None)
+                              thresholds=thresholds or None)
             print('wrote', out)
         return
     args.pred_json = args.pred_json[0]
