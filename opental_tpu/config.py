@@ -151,6 +151,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # data-parallel training over all visible devices (jax Mesh; the
     # reference analog is its default DataParallel wrap, train.py:316)
     p.add_argument('--use_mesh', action='store_true', default=None)
+    # ship raw uint8 training clips; normalize on device (exact, 4x
+    # less host->device transfer per step)
+    p.add_argument('--uint8_ingest', action='store_true', default=None)
     p.add_argument('--fusion', action='store_true')
     p.add_argument('--open_set', action='store_true')
     p.add_argument('--split', type=int, choices=[0, 1, 2, 3, 4], default=0)
@@ -186,6 +189,7 @@ def config_from_namespace(args) -> Config:
         'actw': 'training.actw', 'ssl': 'training.ssl',
         'piou': 'training.piou', 'resume': 'training.resume',
         'use_mesh': 'training.use_mesh',
+        'uint8_ingest': 'training.uint8_ingest',
         'exp_tag': 'testing.exp_tag',
     }
     for k, dotted in simple.items():

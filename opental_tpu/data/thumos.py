@@ -193,18 +193,30 @@ class ThumosTrainDataset:
     Unlike the reference (whole-set preload + torch DataLoader workers,
     thumos_dataset.py:132-139), videos are mmap-loaded on demand; batches
     are assembled host-side and shipped to device once per step.
+
+    uint8_ingest=True ships clips/ssl_clips as RAW uint8 (4x less
+    host->device bandwidth) and defers the [-1,1] normalization to the
+    device inside the train step (train/step.device_ingest). The
+    reordering is exact: the only transform downstream of normalization
+    in this pipeline is the SSL cut-paste augment, which is pure
+    frame-block moves (thumos_dataset.py:187-229), so
+    normalize-then-paste == paste-then-normalize bit for bit. The only
+    residual deviation is XLA's jit lowering of the /255 constant
+    division (<=1 ulp per element; tests/test_uint8_ingest.py).
     """
 
     def __init__(self, npy_data_path: str, video_infos: Dict[str, dict],
                  video_annos: Dict[str, List[List[float]]],
                  clip_length: int = 256, crop_size: int = 96,
-                 stride: int = 30, seed: int = 0, training: bool = True):
+                 stride: int = 30, seed: int = 0, training: bool = True,
+                 uint8_ingest: bool = False):
         self.training_list, self.min_anno = split_videos(
             video_infos, video_annos, clip_length, stride)
         self.npy_data_path = npy_data_path
         self.clip_length = clip_length
         self.crop_size = crop_size
         self.training = training
+        self.uint8_ingest = uint8_ingest
         self.rng = random.Random(seed)
         self._cache: Dict[str, np.ndarray] = {}
 
@@ -235,7 +247,9 @@ class ThumosTrainDataset:
                 self.rng)
         else:
             clip = transforms.center_crop(clip, self.crop_size)
-        clip = transforms.normalize_clip(np.ascontiguousarray(clip))
+        clip = np.ascontiguousarray(clip)
+        if not self.uint8_ingest:
+            clip = transforms.normalize_clip(clip)
 
         annos = info['annos']
         ssl_clip, ssl_props, flag = ssl_augment(clip, annos, th, self.rng)

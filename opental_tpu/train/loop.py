@@ -152,7 +152,10 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
             cfg.get_path('dataset.training.video_data_path'), video_infos,
             video_annos, clip_length=clip_length, crop_size=crop_size,
             stride=cfg.get_path('dataset.training.clip_stride', 30),
-            seed=seed)
+            seed=seed,
+            # training.uint8_ingest: ship raw uint8 clips and normalize
+            # on device (exact; 4x less host->device transfer per step)
+            uint8_ingest=bool(tr.get('uint8_ingest', False)))
 
     checkpoint_path = tr.get('checkpoint_path', './checkpoints')
     logger = MetricsLogger(checkpoint_path,

@@ -33,6 +33,24 @@ class LossWeights(NamedTuple):
     ssl: float = 0.1      # triplet
 
 
+def device_ingest(batch: Dict[str, Array]) -> Dict[str, Array]:
+    """Normalize raw uint8 clips on device: uint8 [0,255] -> f32 [-1,1].
+
+    Same op order as the host transforms.normalize_clip
+    (thumos_dataset.py:263). Eager execution is bit-identical to the
+    host pipeline; under jit, XLA lowers the constant division to a
+    reciprocal multiply, which rounds up to 1 ulp differently
+    (measured, tests/test_uint8_ingest.py). dtype is a static trace
+    property, so f32 batches pass through with a no-op graph. Ships 4x
+    less host->device data per step when the dataset runs with
+    uint8_ingest=True."""
+    out = dict(batch)
+    for k in ('clips', 'ssl_clips'):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = (out[k].astype(jnp.float32) / 255.0) * 2.0 - 1.0
+    return out
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     constants: Any = struct.field(pytree_node=True)
@@ -186,6 +204,8 @@ def make_train_step(model, loss_cfg: LossConfig, weights: LossWeights,
     def train_step(state: TrainState, batch: Dict[str, Array],
                    epoch: Array, rng: Optional[Array] = None
                    ) -> Tuple[TrainState, Dict[str, Array]]:
+        batch = device_ingest(batch)
+
         def loss_fn(params):
             cost, metrics, new_edl, new_consts = compute_losses(
                 model, loss_cfg, weights, params, state.constants, batch,
