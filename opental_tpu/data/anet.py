@@ -82,12 +82,24 @@ def split_videos(video_info: Dict[str, dict], clip_length: int,
 
 
 class AnetTrainDataset:
-    """Iterable ANet training dataset with fixed-shape padded batches."""
+    """Iterable ANet training dataset with fixed-shape padded batches.
+
+    uint8_ingest=True ships raw uint8 clips (4x less host->device
+    transfer) with the [-1,1] normalization deferred to the device
+    (train/step.device_ingest), like the THUMOS dataset. ANet adds one
+    wrinkle: short videos are padded with 127.5 (anet_dataset.py:231-234)
+    — not a uint8 value — but 127.5 normalizes to EXACTLY 0.0, so the
+    uint8 path pads with 0 and ships a per-frame `pad_masks` companion
+    that the device applies as where(pad, 0.0, x) after normalizing. The
+    mask rides through the SSL cut-paste's temporal block moves
+    (ssl_augment companions) so pad frames relocated by the augment stay
+    exactly reproduced (tests/test_uint8_ingest.py)."""
 
     def __init__(self, video_info_path: str, video_dir: str,
                  clip_length: int = 768, crop_size: int = 96,
                  channels: int = 3, training: bool = True,
-                 binary_class: bool = False, seed: int = 0):
+                 binary_class: bool = False, seed: int = 0,
+                 uint8_ingest: bool = False):
         subset = 'training' if training else 'validation'
         info = get_video_info(video_info_path, subset)
         self.training_list, self.th = split_videos(info, clip_length,
@@ -96,6 +108,7 @@ class AnetTrainDataset:
         self.clip_length = clip_length
         self.crop_size = crop_size
         self.training = training
+        self.uint8_ingest = uint8_ingest
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -109,6 +122,8 @@ class AnetTrainDataset:
         end = min(info['offset'] + self.clip_length, info['frame_num'])
         frames = data[info['offset']:end]
         t = frames.shape[0]
+        if self.uint8_ingest:
+            return self._sample_uint8(info, frames, t, th)
         if t < self.clip_length:
             pad = np.full((self.clip_length - t,) + frames.shape[1:],
                           127.5, np.float32)  # (anet_dataset.py:231-234)
@@ -140,6 +155,51 @@ class AnetTrainDataset:
             'gt_mask': gt_mask,
             'scores': info['scores'],
             'ssl_clips': ssl_clip.astype(np.float32),
+            'ssl_props': ssl_props,
+            'ssl_flags': np.float32(flag),
+        }
+
+    def _sample_uint8(self, info: dict, frames: np.ndarray, t: int,
+                      th: int) -> Dict[str, np.ndarray]:
+        """uint8_ingest sample: identical rng-draw sequence to the f32
+        path (crop -> hflip -> ssl_augment), raw uint8 clips, pad frames
+        carried as a mask companion instead of the 127.5 fill."""
+        if frames.dtype != np.uint8:
+            raise ValueError('uint8_ingest requires uint8 npy sources, '
+                             f'got {frames.dtype}')
+        pad_mask = np.zeros((self.clip_length,), np.uint8)
+        if t < self.clip_length:
+            pad = np.zeros((self.clip_length - t,) + frames.shape[1:],
+                           np.uint8)
+            frames = np.concatenate([frames, pad], 0)
+            pad_mask[t:] = 1
+        if self.training:
+            frames = transforms.random_hflip(
+                transforms.random_crop(frames, self.crop_size, self.rng),
+                self.rng)
+        else:
+            frames = transforms.center_crop(frames, self.crop_size)
+        clip = np.ascontiguousarray(frames)
+
+        annos = info['annos']
+        ssl_clip, ssl_props, flag, (ssl_pad_mask,) = ssl_augment(
+            clip, annos, max(th, 1), self.rng, companions=(pad_mask,))
+        truths = np.zeros((MAX_GT, 2), np.float32)
+        labels = np.zeros((MAX_GT,), np.int32)
+        gt_mask = np.zeros((MAX_GT,), bool)
+        for i, (s, e, cid) in enumerate(annos[:MAX_GT]):
+            truths[i] = (s / self.clip_length, e / self.clip_length)
+            labels[i] = int(cid)
+            gt_mask[i] = True
+        return {
+            'clips': clip,
+            'pad_masks': pad_mask,
+            'truths': truths,
+            'labels': labels,
+            'gt_mask': gt_mask,
+            'scores': info['scores'],
+            'ssl_clips': np.ascontiguousarray(ssl_clip),
+            'ssl_pad_masks': ssl_pad_mask,
             'ssl_props': ssl_props,
             'ssl_flags': np.float32(flag),
         }

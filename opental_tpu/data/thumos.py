@@ -152,39 +152,57 @@ def _background_region(annos, clip_length: int, min_action: int,
 
 
 def ssl_augment(clip: np.ndarray, annos: List[List[float]], th: int,
-                rng: random.Random
-                ) -> Tuple[np.ndarray, np.ndarray, bool]:
+                rng: random.Random,
+                companions: Tuple[np.ndarray, ...] = ()):
     """Cut-paste SSL augmentation (thumos_dataset.py:187-229): move a
     background block of length `th` inside a GT segment, synthesizing two
     new boundaries. clip: (T, H, W, C). Returns
     (augmented clip, (3, 2) segments [left part, right part, inserted bg],
-    success flag)."""
+    success flag).
+
+    `companions` are extra arrays with the same leading T axis (e.g. an
+    ANet pad-frame mask under uint8 ingest) that undergo the IDENTICAL
+    temporal block moves; when given, a 4th element — the tuple of moved
+    companions — is returned. The augment is pure frame-block moves, so
+    any per-frame metadata stays consistent by construction."""
     clip_length = clip.shape[0]
+    fail = np.zeros((SSL_SEGMENTS, 2), np.float32)
     try:
         gt = rng.choice([a for a in annos if a[1] - a[0] > 2 * th])
     except IndexError:
-        return clip, np.zeros((SSL_SEGMENTS, 2), np.float32), False
+        return ((clip, fail, False, companions) if companions
+                else (clip, fail, False))
     gt_len = gt[1] - gt[0]
     t = rng.choice(range(math.floor(th), math.ceil(gt_len - th))) \
         + math.ceil(gt[0])
     try:
         bg = _background_region(annos, clip_length, th, rng)
     except IndexError:
-        return clip, np.zeros((SSL_SEGMENTS, 2), np.float32), False
+        return ((clip, fail, False, companions) if companions
+                else (clip, fail, False))
     start_idx = rng.choice(range(bg[1] - bg[0] - th)) + bg[0]
     end_idx = start_idx + th
 
-    new_clip = clip.copy()
     if gt[1] < start_idx:
         # background block is to the right of the GT: rotate it in
-        new_clip[t:t + th] = clip[start_idx:end_idx]
-        new_clip[t + th:end_idx] = clip[t:start_idx]
+        def move(arr):
+            new = arr.copy()
+            new[t:t + th] = arr[start_idx:end_idx]
+            new[t + th:end_idx] = arr[t:start_idx]
+            return new
         segs = [[gt[0], t], [t + th, th + gt[1]], [t + 1, t + th - 1]]
     else:
-        new_clip[start_idx:t - th] = clip[end_idx:t]
-        new_clip[t - th:t] = clip[start_idx:end_idx]
+        def move(arr):
+            new = arr.copy()
+            new[start_idx:t - th] = arr[end_idx:t]
+            new[t - th:t] = arr[start_idx:end_idx]
+            return new
         segs = [[gt[0] - th, t - th], [t, gt[1]], [t - th + 1, t - 1]]
-    return new_clip, np.asarray(segs, np.float32), True
+    new_clip = move(clip)
+    segs = np.asarray(segs, np.float32)
+    if companions:
+        return new_clip, segs, True, tuple(move(c) for c in companions)
+    return new_clip, segs, True
 
 
 class ThumosTrainDataset:

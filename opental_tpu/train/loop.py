@@ -141,7 +141,8 @@ def train(cfg: Config, max_steps_per_epoch: Optional[int] = None,
             cfg.get_path('dataset.training.video_info_path'),
             cfg.get_path('dataset.training.video_data_path'),
             clip_length=clip_length, crop_size=crop_size, seed=seed,
-            binary_class=cfg.get_path('dataset.binary_class', False))
+            binary_class=cfg.get_path('dataset.binary_class', False),
+            uint8_ingest=bool(tr.get('uint8_ingest', False)))
     else:
         video_infos = get_video_info(
             cfg.get_path('dataset.training.video_info_path'))

@@ -43,11 +43,23 @@ def device_ingest(batch: Dict[str, Array]) -> Dict[str, Array]:
     (measured, tests/test_uint8_ingest.py). dtype is a static trace
     property, so f32 batches pass through with a no-op graph. Ships 4x
     less host->device data per step when the dataset runs with
-    uint8_ingest=True."""
+    uint8_ingest=True.
+
+    ANet uint8 batches additionally carry per-frame `pad_masks` /
+    `ssl_pad_masks` (B, T) companions marking frames the host f32
+    pipeline fills with 127.5 (anet_dataset.py:231-234); 127.5
+    normalizes to exactly 0.0, so where(pad, 0.0, x) reproduces the
+    reference padding bit-for-bit. Mask keys are consumed here and never
+    reach the loss."""
     out = dict(batch)
-    for k in ('clips', 'ssl_clips'):
+    for k, mk in (('clips', 'pad_masks'), ('ssl_clips', 'ssl_pad_masks')):
         if k in out and out[k].dtype == jnp.uint8:
-            out[k] = (out[k].astype(jnp.float32) / 255.0) * 2.0 - 1.0
+            x = (out[k].astype(jnp.float32) / 255.0) * 2.0 - 1.0
+            if mk in out:
+                pad = out[mk].astype(bool)[:, :, None, None, None]
+                x = jnp.where(pad, 0.0, x)
+            out[k] = x
+        out.pop(mk, None)
     return out
 
 

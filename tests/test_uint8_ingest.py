@@ -61,6 +61,48 @@ def test_uint8_batch_matches_host_normalized(tmp_path):
         np.testing.assert_array_equal(bu8[k], b32[k], err_msg=k)
 
 
+def _matched_anet_datasets(tmp_path):
+    from opental_tpu.config import load_config
+    from opental_tpu.data.anet import AnetTrainDataset
+    from opental_tpu.utils.synthetic import make_synthetic_anet_dataset
+
+    cfg = load_config(make_synthetic_anet_dataset(
+        str(tmp_path / 'anet'), n_train=3, clip_length=128, crop_size=32))
+
+    def make(uint8):
+        return AnetTrainDataset(
+            cfg.get_path('dataset.training.video_info_path'),
+            cfg.get_path('dataset.training.video_data_path'),
+            clip_length=128, crop_size=32, seed=9, uint8_ingest=uint8)
+
+    return make(False), make(True)
+
+
+def test_anet_uint8_batch_matches_host_normalized(tmp_path):
+    """ANet uint8 ingest: pad-127.5 frames ride as pad_masks companions
+    (incl. through the SSL cut-paste moves); eager device_ingest is
+    bit-identical to the host f32 pipeline. Synthetic ANet videos are
+    mostly shorter than clip_length, so padding is exercised."""
+    ds_f32, ds_u8 = _matched_anet_datasets(tmp_path)
+    b32 = next(ds_f32.batches(3, shuffle=True))
+    bu8 = next(ds_u8.batches(3, shuffle=True))
+
+    assert bu8['clips'].dtype == np.uint8
+    assert bu8['pad_masks'].any(), 'no padded video sampled'
+    # SSL moves must have relocated at least the mask arrays coherently
+    assert bu8['ssl_pad_masks'].shape == bu8['pad_masks'].shape
+
+    ingested = device_ingest({k: jnp.asarray(v) for k, v in bu8.items()})
+    assert 'pad_masks' not in ingested and 'ssl_pad_masks' not in ingested
+    np.testing.assert_array_equal(np.asarray(ingested['clips']),
+                                  b32['clips'])
+    np.testing.assert_array_equal(np.asarray(ingested['ssl_clips']),
+                                  b32['ssl_clips'])
+    for k in ('truths', 'labels', 'gt_mask', 'scores', 'ssl_props',
+              'ssl_flags'):
+        np.testing.assert_array_equal(bu8[k], b32[k], err_msg=k)
+
+
 def test_device_ingest_passthrough():
     """f32 batches trace to a no-op; non-clip keys never touched."""
     batch = {'clips': jnp.ones((1, 4, 2, 2, 3), jnp.float32),
