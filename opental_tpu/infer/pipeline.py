@@ -85,6 +85,35 @@ def stack_windows(data: np.ndarray, offsets: Sequence[int],
     return out
 
 
+def stack_windows_u8(data: np.ndarray, offsets: Sequence[int],
+                     clip_length: int, bucket: int = 8
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """stack_windows' uint8 twin for the packed path: raw bytes ship 4x
+    smaller through the host->device link. Returns
+    ((W_padded, clip, H, W, C) uint8, (W_padded,) int32 frames-valid);
+    the jitted forward normalizes and zero-fills frames >= valid
+    (ingest_windows), reproducing stack_windows' normalized zero tail pad
+    (test.py:67-76) to <=1 ulp (XLA's jitted /255 lowering)."""
+    t, h, w, c = data.shape
+    n = len(offsets)
+    n_pad = _bucket(n, bucket)
+    out = np.zeros((n_pad, clip_length, h, w, c), np.uint8)
+    valid = np.zeros((n_pad,), np.int32)
+    for i, off in enumerate(offsets):
+        clip = data[off:off + clip_length]
+        out[i, :clip.shape[0]] = clip
+        valid[i] = clip.shape[0]
+    return out, valid
+
+
+def ingest_windows(clips_u8, valid):
+    """Device half of stack_windows_u8: uint8 [0,255] -> f32 [-1,1] with
+    frames >= valid zeroed (the reference's post-normalize zero pad)."""
+    x = (clips_u8.astype(jnp.float32) / 255.0) * 2.0 - 1.0
+    mask = jnp.arange(clips_u8.shape[1])[None, :] < valid[:, None]
+    return jnp.where(mask[:, :, None, None, None], x, 0.0)
+
+
 class InferencePipeline:
     """Jitted forward + decode over window batches for one model.
 
@@ -190,6 +219,32 @@ class InferencePipeline:
                                device_windows(video_u8, offs,
                                               frames_valid, clip_length)))
 
+        # packed-path forward: raw uint8 window batches + per-window
+        # frames-valid, normalized/zero-tailed on device (ingest_windows)
+        # — 4x less transfer than the f32 staging it replaces
+        def packed_forward(variables, clips_u8, valid, flow_vars=None,
+                           flow_u8=None, fvalid=None):
+            # flow keeps its own frames-valid: TVL1 flow npys can be one
+            # frame shorter than the RGB stream, shifting tail pads
+            clips = ingest_windows(clips_u8, valid)
+            flow_clips = (None if flow_u8 is None
+                          else ingest_windows(flow_u8, fvalid))
+            return forward_decode(variables, clips, flow_vars, flow_clips)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from opental_tpu.parallel.mesh import DATA_AXIS
+            self._packed_forward = jax.jit(
+                lambda variables, clips_u8, valid:
+                packed_forward(variables, clips_u8, valid),
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P(DATA_AXIS)),
+                              NamedSharding(mesh, P(DATA_AXIS))),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+        else:
+            self._packed_forward = jax.jit(packed_forward)
+
     def run_video(self, data: np.ndarray, sample_count: int,
                   sample_fps: float, flow_data: Optional[np.ndarray] = None,
                   max_batch: int = 32) -> List[Dict[str, Any]]:
@@ -293,52 +348,62 @@ class InferencePipeline:
         clips/s, BASELINE.md "Window-batch sweep"). Packing keeps every
         forward at the throughput-optimal batch regardless of video
         length, with ONE jit graph shape for the whole run (the final
-        partial batch zero-pads). Results match per-video run_video:
+        partial batch zero-pads). Windows stage as RAW uint8 with
+        per-window frames-valid and normalize on device
+        (stack_windows_u8/ingest_windows) — 4x less host->device
+        transfer than f32 staging. Results match per-video run_video:
         inference has no cross-window coupling (BN is frozen
-        constants); only last-ulp float differences from different
-        batch tiling remain (~1e-6 relative, tests). The reference
-        processes one window at a time (test.py:227-235); this is the
-        framework-native equivalent of its whole test loop.
+        constants); only last-ulp float differences from batch tiling
+        and the jitted /255 lowering remain (~1e-6 relative, tests).
+        The reference processes one window at a time (test.py:227-235);
+        this is the framework-native equivalent of its whole test loop.
 
         videos: iterable of (name, data, sample_count, sample_fps) or
         (..., flow_data) tuples; consumed lazily so callers can stream
         np.load one video at a time. Returns {name: proposals}.
         """
         assert not self.device_ingest, \
-            'packed mode uses host window stacking'
+            'packed mode stages uint8 windows itself'
         if self.shared_backbone:
             return self.run_videos_shared(videos,
                                           frames_capacity=frames_capacity)
         fusion = self.flow_model is not None
 
         pending: List[Dict[str, Any]] = []   # FIFO of open videos
-        buf: List[np.ndarray] = []           # queued window arrays
+        buf: List[np.ndarray] = []           # queued uint8 window arrays
+        vbuf: List[np.ndarray] = []          # per-window frames-valid
         fbuf: List[np.ndarray] = []
+        fvbuf: List[np.ndarray] = []
         buffered = 0
         results: Dict[str, List[Dict[str, Any]]] = {}
 
-        def flush(pad_to: Optional[int] = None):
-            """Forward the queued windows (padding the tail batch) and
-            scatter decoded rows back to their videos in FIFO order."""
-            nonlocal buf, fbuf, buffered
-            if buffered == 0:
-                return
-            batch = np.concatenate(buf) if len(buf) > 1 else buf[0]
+        def cat_pad(arrs, pad_to, dtype):
+            batch = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
             if pad_to is not None and batch.shape[0] < pad_to:
                 pad = np.zeros((pad_to - batch.shape[0],)
-                               + batch.shape[1:], np.float32)
+                               + batch.shape[1:], dtype)
                 batch = np.concatenate([batch, pad])
-            fbatch = None
+            return batch
+
+        def flush(pad_to: Optional[int] = None):
+            """Forward the queued windows (padding the tail batch; pad
+            rows carry valid=0, i.e. all-zero normalized frames) and
+            scatter decoded rows back to their videos in FIFO order."""
+            nonlocal buf, vbuf, fbuf, fvbuf, buffered
+            if buffered == 0:
+                return
+            batch = cat_pad(buf, pad_to, np.uint8)
+            valid = cat_pad(vbuf, pad_to, np.int32)
             if fusion:
-                fbatch = (np.concatenate(fbuf) if len(fbuf) > 1
-                          else fbuf[0])
-                if pad_to is not None and fbatch.shape[0] < pad_to:
-                    pad = np.zeros((pad_to - fbatch.shape[0],)
-                                   + fbatch.shape[1:], np.float32)
-                    fbatch = np.concatenate([fbatch, pad])
-            dec = self._forward_decode(
-                self.variables, jnp.asarray(batch), self.flow_variables,
-                jnp.asarray(fbatch) if fbatch is not None else None)
+                fbatch = cat_pad(fbuf, pad_to, np.uint8)
+                fvalid = cat_pad(fvbuf, pad_to, np.int32)
+                dec = self._packed_forward(
+                    self.variables, jnp.asarray(batch), jnp.asarray(valid),
+                    self.flow_variables, jnp.asarray(fbatch),
+                    jnp.asarray(fvalid))
+            else:
+                dec = self._packed_forward(
+                    self.variables, jnp.asarray(batch), jnp.asarray(valid))
             rows = {
                 'segments': np.asarray(dec.segments),
                 'scores': np.asarray(dec.scores),
@@ -357,9 +422,26 @@ class InferencePipeline:
                         vid['got'][key].append(arr[pos:pos + take])
                 vid['need'] -= take
                 pos += take
-            buf, fbuf, buffered = [], [], 0
+            buf, vbuf, fbuf, fvbuf, buffered = [], [], [], [], 0
             while pending and pending[0]['need'] == 0:
                 self._finish_packed(pending.pop(0), results)
+
+        def split_queue(arrs, cap):
+            """Split an exactly-`cap` window batch off the queue front;
+            depends only on leading dims, so parallel queues (windows,
+            valids, flow) split identically."""
+            head, rest, acc = [], [], 0
+            for a in arrs:
+                if acc + a.shape[0] <= cap:
+                    head.append(a)
+                    acc += a.shape[0]
+                elif acc < cap:
+                    head.append(a[:cap - acc])
+                    rest.append(a[cap - acc:])
+                    acc = cap
+                else:
+                    rest.append(a)
+            return head, rest
 
         for item in videos:
             name, data, sample_count, sample_fps = item[:4]
@@ -367,14 +449,18 @@ class InferencePipeline:
             data = transforms.center_crop(data, self.crop_size)
             offsets = window_offsets(sample_count, self.clip_length,
                                      self.stride)
-            clips = stack_windows(data, offsets, self.clip_length,
-                                  bucket=1)
+            clips, valid = stack_windows_u8(data, offsets,
+                                            self.clip_length, bucket=1)
             if fusion:
                 flow_data = transforms.center_crop(flow_data,
                                                    self.crop_size)
-                fbuf.append(stack_windows(flow_data, offsets,
-                                          self.clip_length, bucket=1))
+                fclips, fvalid = stack_windows_u8(flow_data, offsets,
+                                                  self.clip_length,
+                                                  bucket=1)
+                fbuf.append(fclips)
+                fvbuf.append(fvalid)
             buf.append(clips)
+            vbuf.append(valid)
             buffered += clips.shape[0]
             pending.append({
                 'name': name, 'offsets': offsets, 'fps': sample_fps,
@@ -382,38 +468,17 @@ class InferencePipeline:
                 'got': {k: [] for k in ('segments', 'scores',
                                         'uncertainty', 'actionness')}})
             while buffered >= max_batch:
-                # split an exactly-full batch off the front of the queue
-                head, rest, acc = [], [], 0
-                for a in buf:
-                    if acc + a.shape[0] <= max_batch:
-                        head.append(a)
-                        acc += a.shape[0]
-                    elif acc < max_batch:
-                        head.append(a[:max_batch - acc])
-                        rest.append(a[max_batch - acc:])
-                        acc = max_batch
-                    else:
-                        rest.append(a)
+                buf, rest = split_queue(buf, max_batch)
+                vbuf, vrest = split_queue(vbuf, max_batch)
                 if fusion:
-                    fhead, frest, facc = [], [], 0
-                    for a in fbuf:
-                        if facc + a.shape[0] <= max_batch:
-                            fhead.append(a)
-                            facc += a.shape[0]
-                        elif facc < max_batch:
-                            fhead.append(a[:max_batch - facc])
-                            frest.append(a[max_batch - facc:])
-                            facc = max_batch
-                        else:
-                            frest.append(a)
+                    fbuf, frest = split_queue(fbuf, max_batch)
+                    fvbuf, fvrest = split_queue(fvbuf, max_batch)
                 leftover = buffered - max_batch
-                buf, buffered = head, max_batch
-                if fusion:
-                    fleft, fbuf = frest, fhead
+                buffered = max_batch
                 flush()
-                buf, buffered = rest, leftover
+                buf, vbuf, buffered = rest, vrest, leftover
                 if fusion:
-                    fbuf = fleft
+                    fbuf, fvbuf = frest, fvrest
         flush(pad_to=max_batch)
         assert not pending, 'scheduler left unfinished videos'
         return results

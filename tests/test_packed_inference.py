@@ -64,6 +64,37 @@ def test_packed_matches_per_video():
         _assert_same(ref, packed[name])
 
 
+def test_packed_ships_uint8():
+    """The packed path must stage RAW uint8 windows + int32 frames-valid
+    (4x less host->device transfer); normalization happens inside the
+    jitted forward (ingest_windows). Spy on _packed_forward to pin the
+    shipped dtypes and the zero-valid tail padding."""
+    model, variables = _model_and_vars()
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=STRIDE, crop_size=CROP,
+                             conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                             use_edl=True, os_head=True)
+    seen = []
+    inner = pipe._packed_forward
+
+    def spy(variables, clips_u8, valid, *rest):
+        seen.append((clips_u8.dtype, valid.dtype,
+                     np.asarray(valid).copy()))
+        return inner(variables, clips_u8, valid, *rest)
+
+    pipe._packed_forward = spy
+    videos = _videos(seed=4)[:2]   # 13+9 windows -> 1 full + padded tail
+    out = pipe.run_videos(iter(videos), max_batch=16)
+    assert set(out) == {v[0] for v in videos}
+    assert len(seen) == 2
+    for cd, vd, _ in seen:
+        assert cd == jnp.uint8
+        assert vd == jnp.int32
+    # the padded tail batch carries valid=0 rows
+    tail_valid = seen[-1][2]
+    assert (tail_valid[-1] == 0) and (tail_valid > 0).any()
+
+
 @pytest.mark.slow
 def test_packed_cli_wiring(tmp_path):
     """`testing.packed: true` routes run_test through run_videos and
