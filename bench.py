@@ -12,7 +12,9 @@ shared-backbone metric runs one backbone pass per span of 4 overlapping
 windows (48 spans = 192 windows/step; PARITY.md deviation) — fewer FLOPs
 per window AND more windows in flight. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
-64-window synthetic video. The train phase times the full OpenTAL-final
+64-window synthetic video; a packed variant streams 8 short videos
+through run_videos (cross-video window packing, raw-uint8 staging,
+device post) — the recommended dataset-scale config. The train phase times the full OpenTAL-final
 jitted train step (EDL-MIB + PU actionness + SSL triplet) at its
 measured-best config (bs=8, bf16 convs, f32 params — round-3 sweep) and
 reports train MFU from the compiled step's XLA cost analysis.
@@ -156,6 +158,32 @@ def bench_e2e(model, variables, device_post, device_ingest=False):
     return 64 / dt, len(props)
 
 
+def bench_e2e_packed(model, variables, n_videos=8):
+    """Dataset-scale e2e mode: many short videos stream through
+    run_videos — windows pack across videos into full 128-window
+    forwards, staged as raw uint8 + frames-valid (4x less transfer),
+    fused device post-processing. This is `testing.packed` +
+    `testing.device_nms`, the recommended config for real THUMOS runs
+    (MIGRATION.md)."""
+    from opental_tpu.infer.pipeline import InferencePipeline
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=128, crop_size=CROP, conf_thresh=0.01,
+                             top_k=5000, nms_sigma=0.5, use_edl=True,
+                             os_head=True, device_post=True)
+    rng = np.random.RandomState(0)
+    frames = 128 * 7 + 256          # 8 windows per video
+    windows_total = 8 * n_videos
+    vids = [(f'v{i}', rng.randint(0, 255, (frames, CROP, CROP, 3),
+                                  np.uint8), frames, 10.0)
+            for i in range(n_videos)]
+    pipe.run_videos(iter(vids), max_batch=BATCH_WINDOWS)   # warm jits
+    t0 = time.perf_counter()
+    res = pipe.run_videos(iter(vids), max_batch=BATCH_WINDOWS)
+    dt = time.perf_counter() - t0
+    assert len(res) == n_videos
+    return windows_total / dt
+
+
 def bench_train(batch_size=8):
     """Full OpenTAL-final train step at the measured-best configuration
     (round-3 sweep, scripts/bench_train_batch.py): batch 8, bf16 conv
@@ -245,6 +273,7 @@ def main():
     e2e_host, _ = bench_e2e(model, variables, device_post=False)
     e2e_device, _ = bench_e2e(model, variables, device_post=True,
                               device_ingest=True)
+    e2e_packed = bench_e2e_packed(model, variables)
     train_clips_per_sec, train_mfu = bench_train()
 
     print(json.dumps({
@@ -256,6 +285,7 @@ def main():
         'shared_backbone_clips_per_sec': round(shared_clips_per_sec, 2),
         'e2e_clips_per_sec_host_nms': round(e2e_host, 2),
         'e2e_clips_per_sec_device_pipeline': round(e2e_device, 2),
+        'e2e_clips_per_sec_packed': round(e2e_packed, 2),
         'train_clips_per_sec': round(train_clips_per_sec, 3),
         'train_config': 'bs8_bf16',
         'train_mfu': round(train_mfu, 4),

@@ -5,7 +5,10 @@ Reference: AFSD/anet/test.py (single 768-frame window per video;
 multi-GPU sharding via multiprocessing, :195-273). TPU-native design:
 since every video is exactly one window, videos batch directly into the
 window axis — one jitted forward scores many videos at once, replacing
-the reference's process-per-GPU fan-out.
+the reference's process-per-GPU fan-out. Raw-uint8 npys ship as raw
+bytes with per-video frames-valid and normalize on device (4x less
+host->device transfer; exact — the reference's 127.5 pad normalizes to
+0.0, see prepare_window_u8).
 
 Output keys strip the 'v_' prefix and segments clamp to the video
 duration (anet/test.py:183-239). The binary-actionness variant
@@ -98,6 +101,22 @@ def prepare_window(npy_path: str, clip_length: int, crop_size: int
     return (data / 255.0) * 2.0 - 1.0
 
 
+def prepare_window_u8(npy_path: str, clip_length: int, crop_size: int
+                      ) -> tuple:
+    """prepare_window's uint8 twin: ship raw bytes (4x less transfer)
+    and normalize on device. The reference's 127.5 pad (anet/test.py:
+    87-89) normalizes to exactly 0.0, so zero-filling frames >= valid
+    inside the jitted ingest (infer.pipeline.ingest_windows) reproduces
+    it bit-for-bit up to the jitted /255 lowering (<=1 ulp)."""
+    data = np.load(npy_path)
+    data = transforms.center_crop(data, crop_size)
+    t = data.shape[0]
+    valid = min(t, clip_length)
+    out = np.zeros((clip_length,) + data.shape[1:], np.uint8)
+    out[:valid] = data[:valid]
+    return out, np.int32(valid)
+
+
 def run_test_anet(cfg, max_videos: Optional[int] = None,
                   video_batch: int = 4, binary: bool = False,
                   cls_score_file: Optional[str] = None,
@@ -128,9 +147,8 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
 
     score_func = 'dirichlet' if use_edl else 'softmax'
 
-    @jax.jit
-    def forward_decode(variables, clips, flow_variables=None,
-                       flow_clips=None):
+    def _forward_decode(variables, clips, flow_variables=None,
+                        flow_clips=None):
         out = model.apply(variables, clips)
         if flow_model is not None and flow_clips is not None:
             from opental_tpu.infer.decode import fuse_streams
@@ -139,6 +157,21 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
         return decode_windows(out, clip_length, use_edl=use_edl,
                               os_head=os_head, score_func=score_func,
                               evidence=flags['evidence'])
+
+    forward_decode = jax.jit(_forward_decode)
+
+    @jax.jit
+    def forward_decode_u8(variables, clips_u8, valid, flow_variables=None,
+                          flow_u8=None, fvalid=None):
+        # raw uint8 video batches + per-video frames-valid normalize on
+        # device (exact: the 127.5 pad normalizes to 0.0 — see
+        # prepare_window_u8)
+        from opental_tpu.infer.pipeline import ingest_windows
+        clips = ingest_windows(clips_u8, valid)
+        flow_clips = (None if flow_u8 is None
+                      else ingest_windows(flow_u8, fvalid))
+        return _forward_decode(variables, clips, flow_variables,
+                               flow_clips)
 
     video_infos = get_video_info(
         cfg.get_path('dataset.testing.video_info_path'), subset)
@@ -149,6 +182,15 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
     names = [n for n in video_infos
              if os.path.exists(os.path.join(npy_dir, n + '.npy'))]
     names = names[:max_videos]
+
+    # uint8 staging when the stored npys are raw bytes (ours and the
+    # reference's both are); pre-normalized float npys fall back to the
+    # f32 path. Decided once so the whole run uses one jit graph.
+    def _npy_is_u8(d, n):
+        return np.load(os.path.join(d, n + '.npy'),
+                       mmap_mode='r').dtype == np.uint8
+    staging_u8 = bool(names) and _npy_is_u8(npy_dir, names[0]) and (
+        not fusion or _npy_is_u8(flow_dir, names[0]))
 
     # binary-actionness mode: a video-level classifier file supplies the
     # labels; format {'results': {name: [200 scores]}, 'class': [200
@@ -161,19 +203,28 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
         cls_scores = cls_data['results']
         cls_actions = cls_data['class']
 
+    def _stage(d, chunk):
+        if staging_u8:
+            outs = [prepare_window_u8(os.path.join(d, n + '.npy'),
+                                      clip_length, crop_size)
+                    for n in chunk]
+            return (np.stack([o[0] for o in outs]),
+                    np.asarray([o[1] for o in outs], np.int32))
+        return np.stack([prepare_window(
+            os.path.join(d, n + '.npy'), clip_length, crop_size)
+            for n in chunk]), None
+
     def assemble(i):
-        # runs on the prefetch thread: load + crop + normalize batch
-        # i+1 while the device scores batch i (np.load drops the GIL)
+        # runs on the prefetch thread: load + crop (+ normalize on the
+        # f32 fallback) batch i+1 while the device scores batch i
+        # (np.load drops the GIL)
         chunk = names[i:i + video_batch]
-        clips = np.stack([prepare_window(
-            os.path.join(npy_dir, n + '.npy'), clip_length, crop_size)
-            for n in chunk])
-        fclips = None
+        clips, valid = _stage(npy_dir, chunk)
+        fclips = fvalid = None
         if fusion:
-            fclips = jnp.asarray(np.stack([prepare_window(
-                os.path.join(flow_dir, n + '.npy'), clip_length,
-                crop_size) for n in chunk]))
-        return i, chunk, clips, fclips
+            fclips, fvalid = _stage(flow_dir, chunk)
+            fclips = jnp.asarray(fclips)
+        return i, chunk, clips, valid, fclips, fvalid
 
     from opental_tpu.data.prefetch import prefetch
     cls_rng = list(range(0, num_classes) if os_head
@@ -188,10 +239,17 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
                                  te.get('n_candidates', 512))
                if te.get('device_nms', True) else None)
     result_dict: Dict[str, List[dict]] = {}
-    for i, chunk, clips, fclips in prefetch(
+    for i, chunk, clips, valid, fclips, fvalid in prefetch(
             range(0, len(names), video_batch), assemble):
-        dec = forward_decode(variables, jnp.asarray(clips), flow_vars,
-                             fclips)
+        if staging_u8:
+            dec = forward_decode_u8(variables, jnp.asarray(clips),
+                                    jnp.asarray(valid), flow_vars,
+                                    fclips,
+                                    None if fvalid is None
+                                    else jnp.asarray(fvalid))
+        else:
+            dec = forward_decode(variables, jnp.asarray(clips),
+                                 flow_vars, fclips)
         if post_fn is not None:
             fps_arr = jnp.asarray([video_infos[n]['fps'] for n in chunk],
                                   jnp.float32)

@@ -13,6 +13,29 @@ import numpy as np
 import pytest
 
 
+def test_prepare_window_u8_matches_f32(tmp_path):
+    """uint8 staging (prepare_window_u8 + device ingest_windows) must
+    reproduce the f32 prepare_window path — including the reference's
+    127.5 tail pad (anet/test.py:87-89), which normalizes to exactly
+    0.0 — for videos shorter, equal to, and longer than clip_length."""
+    from opental_tpu.infer.pipeline import ingest_windows
+    from opental_tpu.tools.test_anet import (prepare_window,
+                                             prepare_window_u8)
+
+    rng = np.random.RandomState(0)
+    clip, crop = 64, 16
+    for i, t in enumerate((40, 64, 90)):
+        path = str(tmp_path / f'v{i}.npy')
+        np.save(path, rng.randint(0, 256, (t, crop + 4, crop + 6, 3),
+                                  np.uint8))
+        ref = prepare_window(path, clip, crop)
+        u8, valid = prepare_window_u8(path, clip, crop)
+        assert u8.dtype == np.uint8 and valid == min(t, clip)
+        got = np.asarray(jax.jit(ingest_windows)(
+            u8[None], np.asarray([valid], np.int32)))[0]
+        np.testing.assert_allclose(got, ref, atol=2e-7)
+
+
 @pytest.mark.slow
 def test_anet_train_test_threshold_eval(tmp_path):
     from opental_tpu.config import load_config
