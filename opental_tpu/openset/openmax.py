@@ -63,10 +63,15 @@ class OpenMax:
         for i in range(alpharank):
             alpha[rows, order[:, i]] = (alpharank - i) / float(alpharank)
 
-        # per-class Weibull rejection probability of each feature
+        # per-class Weibull rejection probability of each feature; a
+        # class with no fitted model (no positive train matches — see
+        # weibull_fitting) contributes wscore 0: its logits pass through
+        # unrecalibrated and it moves no mass to the unknown slot
         wscores = np.zeros((n, k))
         for ci, name in enumerate(self.class_names):
             entry = self.weibull_model[name]
+            if entry['model'][0] is None:
+                continue
             dist = eucos_dist(np.asarray(entry['mean_vec'], np.float64),
                               feats)
             wscores[:, ci] = entry['model'][0].w_score_vector(dist)
@@ -96,18 +101,29 @@ def accumulate_mavs(features: Dict[str, List[np.ndarray]]
 
 def save_mav_dist(mav_dist_dir: str,
                   coarse: Dict[str, Tuple[np.ndarray, np.ndarray]],
-                  refined: Dict[str, Tuple[np.ndarray, np.ndarray]]
-                  ) -> None:
+                  refined: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                  class_names: Optional[Sequence[str]] = None) -> None:
     """One npz per class. A class missing one stage (no positive matches
-    — the reference would crash on np.stack of an empty list) falls back
-    to the other stage's MAV so OpenMax stays shape-consistent."""
+    — the reference would crash on np.stack of an empty list,
+    test_openmax.py:318-320) falls back to the other stage's MAV so
+    OpenMax stays shape-consistent; a class in `class_names` missing
+    BOTH stages gets a placeholder npz (zero MAV, empty distance tail)
+    that weibull_fitting turns into a no-op recalibration entry."""
     os.makedirs(mav_dist_dir, exist_ok=True)
-    for name in set(coarse) | set(refined):
+    present = set(coarse) | set(refined)
+    for name in present:
         fallback = coarse.get(name) or refined.get(name)
         mav, dist = coarse.get(name, fallback)
         mav_p, dist_p = refined.get(name, fallback)
         np.savez(os.path.join(mav_dist_dir, f'{name}.npz'), mav=mav,
                  dist=dist, mav_prop=mav_p, dist_prop=dist_p)
+    if class_names and present:
+        dim = next(iter((coarse or refined).values()))[0].shape[0]
+        zero = np.zeros((dim,))
+        empty = np.zeros((0,))
+        for name in set(class_names) - present:
+            np.savez(os.path.join(mav_dist_dir, f'{name}.npz'), mav=zero,
+                     dist=empty, mav_prop=zero, dist_prop=empty)
 
 
 def weibull_fitting(mav_dist_dir: str, class_names: Sequence[str],
@@ -123,8 +139,13 @@ def weibull_fitting(mav_dist_dir: str, class_names: Sequence[str],
         for model, mav_key, dist_key in (
                 (weibull_model, 'mav', 'dist'),
                 (weibull_prop_model, 'mav_prop', 'dist_prop')):
-            mr = MR()
             tail = np.sort(data[dist_key])[-tailsize:]
+            if tail.size == 0:
+                # placeholder entry (no positive matches): recalibration
+                # is a no-op for this class (OpenMax.__call__)
+                model[name] = {'mean_vec': data[mav_key], 'model': [None]}
+                continue
+            mr = MR()
             mr.fit_high(tail, len(tail))
             model[name] = {'mean_vec': data[mav_key], 'model': [mr]}
     return weibull_model, weibull_prop_model

@@ -41,6 +41,9 @@ def compute_mav_dist(cfg: Config, mav_dist_dir: str,
     clip_length = cfg.get_path('dataset.training.clip_length', 256)
     crop_size = cfg.get_path('dataset.training.crop_size', 96)
     model = factory.build_model(cfg, frame_num=clip_length)
+    assert not model.os_head and not model.use_edl, (
+        'OpenMax requires the closed-set softmax architecture '
+        '(see OpenMaxInference)')
     variables = load_variables(
         model, cfg.testing['checkpoint_path'],
         (1, clip_length, crop_size, crop_size, model.in_channels))
@@ -69,7 +72,8 @@ def compute_mav_dist(cfg: Config, mav_dist_dir: str,
         model, variables, batch_iter(), clip_length, idx_to_class,
         overlap_thresh=cfg.get_path('training.piou', 0.5) or 0.5)
     save_mav_dist(mav_dist_dir, accumulate_mavs(coarse),
-                  accumulate_mavs(refined))
+                  accumulate_mavs(refined),
+                  class_names=list(idx_to_class.values()))
 
 
 class OpenMaxInference:
@@ -86,6 +90,12 @@ class OpenMaxInference:
         self.nms_sigma = te.get('nms_sigma', 0.5)
         self.top_k = te.get('top_k', 5000)
         model = factory.build_model(cfg, frame_num=self.clip_length)
+        assert not model.os_head and not model.use_edl, (
+            'OpenMax is a closed-set softmax baseline: it recalibrates '
+            'background-column logits (decode_output drops conf[:, 1:], '
+            'test_openmax.py:158) and the reference openmax config sets '
+            'neither os_head nor EDL (configs/thumos14_openmax.yaml). '
+            'Use tools/test.py for os_head/EDL checkpoints.')
         self.variables = load_variables(
             model, te['checkpoint_path'],
             (1, self.clip_length, self.crop_size, self.crop_size,
