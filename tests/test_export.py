@@ -62,3 +62,20 @@ def test_export_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(got_port[k]),
                                    np.asarray(want[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+    # uint8 serving contract: (clips_u8, frames_valid) artifact with
+    # normalization baked in == the f32 artifact on the normalized twin
+    # (ingest_windows semantics incl. the zero tail past frames_valid)
+    u8_path = str(tmp_path / 'model_u8.jaxexp')
+    export_model(cfg, u8_path, window_batch=2, uint8_ingest=True)
+    rng = np.random.RandomState(1)
+    clips_u8 = rng.randint(0, 255, (2, 128, 32, 32, 3), dtype=np.uint8)
+    valid = np.asarray([128, 50], np.int32)
+    norm = (clips_u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+    norm[1, 50:] = 0.0
+    want_u8 = serve(norm)
+    got_u8 = load_exported(u8_path)(clips_u8, valid)
+    for k in want_u8:
+        np.testing.assert_allclose(np.asarray(got_u8[k]),
+                                   np.asarray(want_u8[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
