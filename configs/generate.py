@@ -154,6 +154,26 @@ def edl_cfg(**extra):
 
 
 CONFIGS = {
+    # plain closed-set AFSD baseline: the full 21-class detection
+    # annotation set (no open split templating), the config every
+    # open-set variant diffs against (reference configs/thumos14.yaml)
+    'thumos14.yaml': build(THUMOS_BASE, {
+        'dataset.num_classes': 21,
+        'dataset.class_info_path':
+            './datasets/thumos14/annotations/Class_Index_Detection.txt',
+        'dataset.training.video_info_path':
+            './datasets/thumos14/annotations/val_video_info.csv',
+        'dataset.training.video_anno_path':
+            './datasets/thumos14/annotations/val_Annotation_ours.csv',
+        'dataset.testing.video_info_path':
+            './datasets/thumos14/annotations/test_video_info.csv',
+        'dataset.testing.video_anno_path':
+            './datasets/thumos14/annotations/test_Annotation_ours.csv',
+        'training.max_epoch': 16, 'training.focal_loss': True,
+        'training.checkpoint_path': './models/thumos14/',
+        'testing.checkpoint_path':
+            './models/thumos14/checkpoint-latest.ckpt',
+        'testing.output_path': './output'}),
     # closed-set AFSD softmax baseline
     'thumos14_softmax.yaml': build(THUMOS_BASE, {
         'training.max_epoch': 16, 'training.focal_loss': True,
@@ -210,6 +230,10 @@ CONFIGS = {
             'models/anet/softmax/split_{id:d}/checkpoint-latest.ckpt',
         'testing.output_path': 'output/anet/softmax/split_{id:d}'}),
 }
+
+# closed-set runs have no open-split annotation file (reference
+# configs/thumos14.yaml carries no such key)
+del CONFIGS['thumos14.yaml']['dataset']['testing']['video_anno_open_path']
 
 _FINAL = CONFIGS['thumos14_opental_final.yaml']
 

@@ -128,6 +128,11 @@ class InferencePipeline:
         device; the host only formats kept rows. This removes the
         serial host NMS (the reference's known hot spot,
         segment_utils.py:129) from the e2e path entirely.
+
+    n_candidates bounds the per-class device_post preselect; the 2048
+    default matches the THUMOS CLI (tools/test.py) — large enough that
+    truncation was never observed on real score distributions
+    (PARITY.md "Known deviations").
     """
 
     def __init__(self, model, variables, clip_length: int = 256,
@@ -138,7 +143,7 @@ class InferencePipeline:
                  evidence: str = 'exp',
                  flow_model=None, flow_variables=None, mesh=None,
                  device_nms: bool = False, device_post: bool = False,
-                 n_candidates: int = 512, device_ingest: bool = False,
+                 n_candidates: int = 2048, device_ingest: bool = False,
                  shared_backbone: bool = False, shared_group: int = 4):
         self.model = model
         self.variables = variables
