@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opental_tpu.data import transforms
+from opental_tpu.data.prefetch import prefetch
 from opental_tpu.infer.decode import decode_windows, fuse_streams
 from opental_tpu.ops.nms import soft_nms_numpy
 
@@ -54,18 +55,26 @@ def device_windows(video_u8, offsets, frames_valid, clip_length: int):
     test.py:67-76). Transferring the raw uint8 video once and slicing
     on device moves 8x fewer bytes than stacked float32 windows (4x
     dtype, 2x window overlap) and takes the normalize off the host.
+
+    frames_valid may be a scalar (one video) or a (Wc,) vector: with a
+    per-window valid end, windows from DIFFERENT videos can share one
+    packed frame buffer (run_videos device_ingest) — a window that
+    reads past its video's end zero-masks the next video's frames,
+    reproducing per-video zero padding exactly. A window with valid=0
+    is all-zero (the packed tail pad rows).
     """
     import jax
 
-    def one(o):
+    def one(o, valid):
         win = jax.lax.dynamic_slice(
             video_u8, (o,) + (0,) * (video_u8.ndim - 1),
             (clip_length,) + video_u8.shape[1:])
         idx = o + jnp.arange(clip_length)
         x = (win.astype(jnp.float32) / 255.0) * 2.0 - 1.0
-        return jnp.where((idx < frames_valid)[:, None, None, None], x, 0.0)
+        return jnp.where((idx < valid)[:, None, None, None], x, 0.0)
 
-    return jax.vmap(one)(offsets)
+    fv = jnp.broadcast_to(frames_valid, offsets.shape)
+    return jax.vmap(one)(offsets, fv)
 
 
 def stack_windows(data: np.ndarray, offsets: Sequence[int],
@@ -216,13 +225,27 @@ class InferencePipeline:
 
         self._ingest_forward = None
         if device_ingest:
-            assert flow_model is None and mesh is None, \
-                'device_ingest supports single-stream single-device runs'
-            self._ingest_forward = jax.jit(
-                lambda variables, video_u8, offs, frames_valid:
-                forward_decode(variables,
-                               device_windows(video_u8, offs,
-                                              frames_valid, clip_length)))
+            assert flow_model is None, \
+                'device_ingest supports single-stream models'
+
+            def ingest_fwd(variables, video_u8, offs, frames_valid):
+                return forward_decode(
+                    variables, device_windows(video_u8, offs,
+                                              frames_valid, clip_length))
+
+            if mesh is not None:
+                # the frame buffer replicates; the window axis (offsets
+                # + per-window valids) shards across the data mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from opental_tpu.parallel.mesh import DATA_AXIS
+                rep = NamedSharding(mesh, P())
+                shd = NamedSharding(mesh, P(DATA_AXIS))
+                self._ingest_forward = jax.jit(
+                    ingest_fwd, in_shardings=(rep, rep, shd, shd),
+                    out_shardings=shd)
+            else:
+                self._ingest_forward = jax.jit(ingest_fwd)
 
         # packed-path forward: raw uint8 window batches + per-window
         # frames-valid, normalized/zero-tailed on device (ingest_windows)
@@ -275,9 +298,13 @@ class InferencePipeline:
             n_pad = _bucket(len(offsets), granule)
             offs = np.zeros((n_pad,), np.int32)
             offs[:len(offsets)] = offsets
-            frames_valid = jnp.int32(min(t, sample_count))
+            # per-window valid vector (shardable over a mesh's window
+            # axis; pad windows carry valid=0 -> all-zero input)
+            fv = np.zeros((n_pad,), np.int32)
+            fv[:len(offsets)] = min(t, sample_count)
             chunk_iter = [
-                (None, jnp.asarray(offs[i:i + max_batch]))
+                (None, (jnp.asarray(offs[i:i + max_batch]),
+                        jnp.asarray(fv[i:i + max_batch])))
                 for i in range(0, n_pad, max_batch)]
         else:
             clips = stack_windows(data, offsets, self.clip_length,
@@ -294,8 +321,9 @@ class InferencePipeline:
         segs, scores, uncts, acts = [], [], [], []
         for i, off_chunk in chunk_iter:
             if self.device_ingest:
+                offs_c, fv_c = off_chunk
                 dec = self._ingest_forward(self.variables, video_dev,
-                                           off_chunk, frames_valid)
+                                           offs_c, fv_c)
             else:
                 chunk = jnp.asarray(clips[i:i + max_batch])
                 fchunk = (jnp.asarray(flow_clips[i:i + max_batch])
@@ -366,11 +394,19 @@ class InferencePipeline:
         videos: iterable of (name, data, sample_count, sample_fps) or
         (..., flow_data) tuples; consumed lazily so callers can stream
         np.load one video at a time. Returns {name: proposals}.
+
+        Routing: with shared_backbone the spans pack via
+        run_videos_shared; with device_ingest the videos' raw frames
+        pack into a contiguous device buffer via run_videos_ingest
+        (each frame ships once — the fastest e2e mode on a
+        transfer-bound link); otherwise windows stage host-side as
+        below (the only packed mode that supports two-stream fusion).
         """
-        assert not self.device_ingest, \
-            'packed mode stages uint8 windows itself'
         if self.shared_backbone:
             return self.run_videos_shared(videos,
+                                          frames_capacity=frames_capacity)
+        if self.device_ingest:
+            return self.run_videos_ingest(videos, max_batch=max_batch,
                                           frames_capacity=frames_capacity)
         fusion = self.flow_model is not None
 
@@ -521,6 +557,162 @@ class InferencePipeline:
         seconds = (segments + off) / vid['fps']
         results[vid['name']] = self._post_process(seconds, conf, unct,
                                                   act)
+
+    def run_videos_ingest(self, videos, max_batch: int = 128,
+                          frames_capacity: int = 16384,
+                          stage_chunk_frames: Optional[int] = 1024
+                          ) -> Dict[str, List[Dict[str, Any]]]:
+        """Packed frame-staged inference: consecutive videos' RAW uint8
+        frames concatenate into one fixed-capacity device frame buffer
+        per flush; windows gather + normalize ON DEVICE (device_windows,
+        per-window frames_valid) and batch to full `max_batch` forwards
+        across video boundaries.
+
+        This is the contiguous-buffer twin of run_videos_shared for the
+        exact per-window path, replacing the window-staged packed mode
+        whenever device_ingest is on. Two properties make it the fastest
+        e2e mode on a transfer-bound link (BASELINE.md "Transfer
+        bandwidth"):
+          * each frame ships ONCE — the window-staged path materializes
+            overlapping windows host-side and ships every interior frame
+            clip/stride times (2x at the shipped stride 128);
+          * staging overlaps compute — flush i+1's host assembly AND
+            host->device transfer run on a daemon thread
+            (data/prefetch.prefetch) while flush i's forwards execute,
+            and the transfer itself is split into `stage_chunk_frames`
+            pieces (re-assembled by one on-device concatenate): ~28 MB
+            chunks measured fastest through the tunnel — 21.6 vs 15.7
+            MB/s for one monolithic 256 MB put, while concurrent
+            streams HURT (2 threads: 11 MB/s), so staging stays
+            single-threaded (scripts/probe_transfer.py, BASELINE.md
+            "Transfer bandwidth").
+
+        The frame buffer has a FIXED bucketed capacity (`cap = k *
+        frames_capacity`, k=1 except for oversize single videos), so a
+        whole dataset run compiles ONE gather+forward graph per chunk
+        shape. Results match per-video run_video(device_ingest) up to
+        batch-tiling float noise: windows never cross video boundaries,
+        and a window whose tail pad would read the next video's frames
+        zero-masks them via its frames_valid (the reference's per-window
+        zero padding, test.py:67-76). Replaces the reference's
+        sequential per-window loop (test.py:227-235).
+
+        videos: iterable of (name, data, sample_count, sample_fps),
+        consumed lazily. Returns {name: proposals}.
+        """
+        assert self.flow_model is None, \
+            'device_ingest packing is single-stream'
+        if self.mesh is not None:
+            assert max_batch % self.mesh.size == 0, \
+                'max_batch must divide over the mesh data axis'
+        clip, stride = self.clip_length, self.stride
+        results: Dict[str, List[Dict[str, Any]]] = {}
+
+        def plans():
+            staged: List[Dict[str, Any]] = []
+            cursor = 0
+
+            def close():
+                nonlocal staged, cursor
+                if not staged:
+                    return None
+                cap = -(-max(cursor, 1) // frames_capacity) \
+                    * frames_capacity
+                shape = staged[0]['data'].shape[1:]
+                buf = np.zeros((cap,) + shape, np.uint8)
+                offs_l, fv_l = [], []
+                for v in staged:
+                    t = v['data'].shape[0]
+                    buf[v['start']:v['start'] + t] = v['data']
+                    offs_l.append(v['start']
+                                  + np.asarray(v['offsets'], np.int32))
+                    fv_l.append(np.full((len(v['offsets']),), v['fv'],
+                                        np.int32))
+                    del v['data']          # free per-video host frames
+                offs = np.concatenate(offs_l)
+                fv = np.concatenate(fv_l)
+                n = offs.shape[0]
+                n_pad = _bucket(n, max_batch)
+                pad = np.zeros((n_pad - n,), np.int32)
+                plan = {'buf': buf, 'offs': np.concatenate([offs, pad]),
+                        'fv': np.concatenate([fv, pad]), 'n': n,
+                        'vids': staged}
+                staged, cursor = [], 0
+                return plan
+
+            for item in videos:
+                name, data, sample_count, sample_fps = item[:4]
+                data = transforms.center_crop(data, self.crop_size)
+                offsets = window_offsets(sample_count, clip, stride)
+                t = data.shape[0]
+                # the video's region must physically contain every
+                # window slice (dynamic_slice clamps starts at the
+                # buffer end, which would silently misalign windows)
+                need = max(offsets[-1] + clip, t)
+                if staged and cursor + need > frames_capacity:
+                    plan = close()
+                    if plan is not None:
+                        yield plan
+                staged.append({
+                    'name': name, 'data': data, 'start': cursor,
+                    'offsets': offsets, 'fps': sample_fps,
+                    'fv': cursor + min(t, sample_count),
+                    'need': len(offsets),
+                    'got': {k: [] for k in ('segments', 'scores',
+                                            'uncertainty', 'actionness')}})
+                cursor += need
+            plan = close()
+            if plan is not None:
+                yield plan
+
+        def stage(plan):
+            """Host buffer -> device; runs on the prefetch worker so the
+            transfer overlaps the previous flush's forwards. Chunked
+            device_puts reassembled by one on-device concatenate move
+            faster through the tunnel than one monolithic put."""
+            buf = plan.pop('buf')        # free host copy after staging
+            ck = stage_chunk_frames
+            if ck is None or buf.shape[0] <= ck:
+                plan['buf_dev'] = jnp.asarray(buf)
+            else:
+                n_ck = -(-buf.shape[0] // ck)
+                parts = [jax.device_put(buf[i * ck:(i + 1) * ck])
+                         for i in range(n_ck)]
+                plan['buf_dev'] = jnp.concatenate(parts)
+            return plan
+
+        for plan in prefetch(plans(), transform=stage, depth=2):
+            buf_dev = plan['buf_dev']
+            offs, fv, n = plan['offs'], plan['fv'], plan['n']
+            vi = 0
+            for i in range(0, offs.shape[0], max_batch):
+                dec = self._ingest_forward(
+                    self.variables, buf_dev,
+                    jnp.asarray(offs[i:i + max_batch]),
+                    jnp.asarray(fv[i:i + max_batch]))
+                rows = {
+                    'segments': np.asarray(dec.segments),
+                    'scores': np.asarray(dec.scores),
+                    'uncertainty': (None if dec.uncertainty is None
+                                    else np.asarray(dec.uncertainty)),
+                    'actionness': (None if dec.actionness is None
+                                   else np.asarray(dec.actionness)),
+                }
+                r, valid_rows = 0, max(0, min(max_batch, n - i))
+                while r < valid_rows:
+                    vid = plan['vids'][vi]
+                    take = min(vid['need'], valid_rows - r)
+                    for key, arr in rows.items():
+                        if arr is not None:
+                            vid['got'][key].append(arr[r:r + take])
+                    vid['need'] -= take
+                    r += take
+                    if vid['need'] == 0:
+                        vi += 1
+            for vid in plan['vids']:
+                self._finish_packed(vid, results)
+            del plan['buf_dev']
+        return results
 
     def run_videos_shared(self, videos, frames_capacity: int = 32768
                           ) -> Dict[str, List[Dict[str, Any]]]:

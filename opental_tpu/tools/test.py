@@ -134,16 +134,21 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
     names = list(video_infos.keys())[:max_videos]
     fusion = te.get('fusion', False)
 
-    # testing.packed: cross-video window packing — every forward runs at
-    # the throughput-optimal batch regardless of video length (short
-    # videos underfill per-video batches; BASELINE.md "Window-batch
-    # sweep"). Same results as per-video runs up to last-ulp batch
-    # tiling differences (tests/test_packed_inference.py). With
-    # testing.shared_backbone it packs k-window SPANS across videos
-    # instead (run_videos_shared — full 48-span chunks dataset-wide).
-    # Incompatible with device_ingest (that path keeps the raw video
-    # device-resident per video).
-    if te.get('packed', False) and not te.get('device_ingest', False):
+    # testing.packed: cross-video packing — every forward runs at the
+    # throughput-optimal batch regardless of video length (short videos
+    # underfill per-video batches; BASELINE.md "Window-batch sweep").
+    # Same results as per-video runs up to last-ulp batch tiling
+    # differences (tests/test_packed_inference.py). Three flavors by
+    # composition (run_videos routes): with testing.device_ingest the
+    # videos' RAW frames pack into a contiguous device buffer and
+    # windows gather on device — each frame ships ONCE, staging
+    # overlaps compute (run_videos_ingest; the fastest e2e mode on a
+    # transfer-bound link and the recommended dataset-scale config);
+    # with testing.shared_backbone it packs k-window SPANS across
+    # videos (run_videos_shared — full 48-span chunks dataset-wide);
+    # plain packed stages overlapping windows host-side (the only
+    # flavor supporting two-stream fusion).
+    if te.get('packed', False):
         def stream():
             for video_name in names:
                 info = video_infos[video_name]
@@ -158,9 +163,14 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
 
         # load video i+1 from disk while the device chews on video i
         # (run_videos blocks on device fetches; np.load releases the GIL)
+        # ingest flushes stage a full frame buffer each: 16384 frames
+        # (~450 MB at crop 96) keeps 3 buffers in flight under the HBM
+        # budget; the shared/window paths use their measured 32768
         result_dict = pipe.run_videos(
             prefetch(stream()), max_batch=te.get('packed_batch', 128),
-            frames_capacity=te.get('packed_frames', 32768))
+            frames_capacity=te.get(
+                'packed_frames',
+                16384 if te.get('device_ingest', False) else 32768))
         for i, video_name in enumerate(names):
             print(f'[{i + 1}/{len(names)}] {video_name}: '
                   f'{len(result_dict[video_name])} proposals')

@@ -70,3 +70,40 @@ def test_packed_mesh_matches_single_device():
             np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
             np.testing.assert_allclose(a['segment'], b['segment'],
                                        rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_packed_ingest_mesh_matches_single_device():
+    """The contiguous-frame-buffer packed mode (run_videos_ingest)
+    composes with the mesh: the frame buffer replicates, the window
+    axis (offsets + per-window frames_valid) shards over the data axis;
+    results must match the single-device host path."""
+    import jax.numpy as jnp
+    model = BDNet(num_classes=16, os_head=True, use_edl=True,
+                  frame_num=128)
+    x0 = jnp.zeros((1, 128, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    kwargs = dict(clip_length=128, stride=32, crop_size=32,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    single = InferencePipeline(model, variables, **kwargs)
+    mesh = meshlib.make_mesh()
+    sharded = InferencePipeline(model, variables, mesh=mesh,
+                                device_ingest=True, **kwargs)
+
+    rng = np.random.RandomState(2)
+    videos = [(f'v{i}', rng.randint(0, 255, (t, 40, 40, 3), np.uint8),
+               t, 10.0) for i, t in enumerate((300, 150, 430))]
+    packed = sharded.run_videos(iter(videos), max_batch=16,
+                                frames_capacity=512)
+    for name, data, sc, fps in videos:
+        ref = single.run_video(data, sample_count=sc, sample_fps=fps)
+        got = sorted(packed[name], key=lambda p: (p['cls'], -p['score']))
+        want = sorted(ref, key=lambda p: (p['cls'], -p['score']))
+        assert len(got) == len(want)
+        for a, b in zip(want, got):
+            assert a['cls'] == b['cls']
+            np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
+            np.testing.assert_allclose(a['segment'], b['segment'],
+                                       rtol=1e-4, atol=1e-4)

@@ -171,6 +171,105 @@ def test_packed_fusion_matches_per_video():
 
 
 @pytest.mark.slow
+def test_packed_ingest_matches_per_video():
+    """device_ingest + packed (run_videos_ingest): consecutive videos'
+    raw frames share one fixed-capacity device buffer; windows gather on
+    device with per-window frames_valid. Must match the exact host
+    per-video path. frames_capacity=1024 forces a mid-run flush (videos
+    420+290+128 frames, then 930 alone); v_c (100 frames < clip) covers
+    the single-short-window video whose tail reads into the next
+    video's region and must zero-mask it."""
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    host = InferencePipeline(model, variables, **kwargs)
+    pipe = InferencePipeline(model, variables, device_ingest=True,
+                             **kwargs)
+    videos = _videos(seed=6)
+
+    packed = pipe.run_videos(iter(videos), max_batch=16,
+                             frames_capacity=1024)
+    assert set(packed) == {v[0] for v in videos}
+    for name, data, sc, fps in videos:
+        ref = host.run_video(data, sample_count=sc, sample_fps=fps)
+        _assert_same(ref, packed[name])
+
+
+def test_packed_ingest_stages_frames_once():
+    """The ingest-packed path must ship each video's frames ONCE as a
+    raw uint8 frame buffer of FIXED bucketed capacity (one jit graph per
+    run), not per overlapping window. Spy on _ingest_forward: every
+    chunk of a flush reuses the same staged buffer, and pad rows carry
+    valid=0."""
+    model, variables = _model_and_vars()
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=STRIDE, crop_size=CROP,
+                             conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                             use_edl=True, os_head=True,
+                             device_ingest=True)
+    seen = []
+    inner = pipe._ingest_forward
+
+    def spy(variables, buf, offs, fv):
+        seen.append((buf, offs.dtype, np.asarray(fv).copy()))
+        return inner(variables, buf, offs, fv)
+
+    pipe._ingest_forward = spy
+    videos = _videos(seed=8)[:2]    # 11 + 7 windows at stride 32
+    out = pipe.run_videos(iter(videos), max_batch=8,
+                          frames_capacity=1024)
+    assert set(out) == {v[0] for v in videos}
+    bufs = {id(b) for b, _, _ in seen}
+    assert len(bufs) == 1           # one staged buffer, reused per chunk
+    buf = seen[0][0]
+    assert buf.dtype == jnp.uint8
+    assert buf.shape[0] == 1024     # fixed bucketed capacity
+    assert all(od == jnp.int32 for _, od, _ in seen)
+    # 18 real windows pad to 24 at max_batch=8; tail pad rows valid=0
+    assert sum(fv.shape[0] for _, _, fv in seen) == 24
+    tail = seen[-1][2]
+    assert (tail == 0).any() and (tail > 0).any()
+
+
+@pytest.mark.slow
+def test_packed_ingest_oversize_video():
+    """A single video longer than frames_capacity gets its own plan with
+    a capacity bucketed UP (cap = k * frames_capacity) — results still
+    match the per-video path. Raw pre-NMS decodes agree to ~2e-5
+    (verified when this test was built), but the stationary-noise
+    videos produce exactly-tied scores whose soft-NMS pick order flips
+    under that noise (CLAUDE.md), so proposals compare via the
+    tie-aware matcher used by the composed-parity suite."""
+    from proposal_matching import assert_proposal_parity
+
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    host = InferencePipeline(model, variables, **kwargs)
+    pipe = InferencePipeline(model, variables, device_ingest=True,
+                             **kwargs)
+    videos = _videos(seed=9)        # v_d = 930 frames > 512 capacity
+    packed = pipe.run_videos(iter(videos), max_batch=16,
+                             frames_capacity=512)
+
+    def to_json(props):
+        return [{'label': str(p['cls']), 'score': p['score'],
+                 'segment': p['segment'],
+                 'uncertainty': p['uncertainty'],
+                 'actionness': p['actionness']} for p in props]
+
+    ref_json = {'results': {}}
+    our_json = {'results': {}}
+    for name, data, sc, fps in videos:
+        ref_json['results'][name] = to_json(
+            host.run_video(data, sample_count=sc, sample_fps=fps))
+        our_json['results'][name] = to_json(packed[name])
+    assert_proposal_parity(ref_json, our_json, min_total=50)
+
+
+@pytest.mark.slow
 def test_packed_shared_backbone_matches_per_video():
     """run_videos_shared packs k-window spans across videos into one
     staged buffer with per-span frames_valid; results must match the
