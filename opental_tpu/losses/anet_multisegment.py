@@ -104,11 +104,18 @@ def anet_multisegment_loss(cfg: LossConfig, out: Dict[str, Any],
         loss_prop_l = jnp.sum(
             jnp.sum(_smooth_l1(prop_loc_p, prop_loc_t), -1) * prop_posf)
 
+        # the reference does NOT detach the IoU target (anet
+        # multisegment_loss.py:217-221): gradients flow through the
+        # refined decode into loc/prop_loc — see the THUMOS twin
+        # (losses/multisegment.py loss_ct) and the step-1 gradient
+        # parity in tests/test_train_kstep_parity.py
         pre_w = (loc_p[:, 0] + loc_p[:, 1])[:, None]
         refined = 0.5 * pre_w * prop_loc_p + loc_p
-        ious_ct = jnp.maximum(segment_iou_1d(refined, loc_t), 0.0)
-        loss_ct = jnp.sum(_bce_with_logits(
-            center_p, jax.lax.stop_gradient(ious_ct)) * posf)
+        ious_raw = segment_iou_1d(refined, loc_t)
+        # ge-mask, not jnp.maximum: torch clamp_(min=0) passes gradient
+        # AT 0 and disjoint segments hit iou == 0 exactly
+        ious_ct = jnp.where(ious_raw >= 0, ious_raw, 0.0)
+        loss_ct = jnp.sum(_bce_with_logits(center_p, ious_ct) * posf)
 
         def cls_term(logits, tgt, state_in):
             if cfg.os_head:

@@ -148,12 +148,19 @@ def multisegment_loss(cfg: LossConfig, out: Dict[str, Any], truths: Array,
     loss_prop_l = jnp.sum(l1 * prop_posf)
 
     # centerness: BCE(center logit, IoU of the refined decode) over coarse
-    # positives (:175-189)
+    # positives (:175-189). The reference does NOT detach the IoU target
+    # (multisegment_loss.py:184-189): d(BCE)/d(target) = -logit flows
+    # through the refined decode into loc_data, prop_loc_data and the
+    # ScaleExp scales — a real train-time gradient path (verified by the
+    # step-1 gradient comparison in tests/test_train_kstep_parity.py;
+    # stop_gradient here zeroed prop_loc_head's largest gradient term).
     pre_w = (loc[..., 0] + loc[..., 1])[..., None]
     refined = 0.5 * pre_w * prop_loc + loc
-    ious_ct = jnp.maximum(segment_iou_1d(refined, m.loc_t), 0.0)
-    loss_ct = jnp.sum(
-        _bce_with_logits(center, jax.lax.stop_gradient(ious_ct)) * posf)
+    ious_raw = segment_iou_1d(refined, m.loc_t)
+    # torch clamp_(min=0) passes gradient AT 0 (ge-mask); jnp.maximum
+    # splits ties 0.5/0.5, and disjoint segments hit iou == 0 exactly
+    ious_ct = jnp.where(ious_raw >= 0, ious_raw, 0.0)
+    loss_ct = jnp.sum(_bce_with_logits(center, ious_ct) * posf)
 
     # classification (coarse + refined), pluggable (:191-232)
     def cls_term(logits_flat, targets_flat, valid, feats=None,

@@ -19,6 +19,13 @@ clobbers the selection): the loss here is constructed directly with
 cls_loss_type='edl' as train.py:329 would receive with the un-clobbered
 value (see PARITY.md "Known deviations").
 
+Building this test caught a real gradient-topology bug no value-level
+test could see: loss_ct's IoU target was stop_gradient'ed while the
+reference leaves it live (multisegment_loss.py:184-189), zeroing
+prop_loc_head's largest gradient term (step-1 global grad rel L2 was
+2.9e-2; 3.2e-4 after the fix, worst leaves tiny-magnitude backbone conv
+float noise).
+
 Heavy: two full 256x96x96 train graphs on one CPU core (~15-25 min).
 """
 
@@ -197,8 +204,13 @@ def test_train_kstep_parity(tmp_path, monkeypatch):
     torch_costs, torch_final = _torch_steps(ref, batches)
     jax_costs, final_state = _jax_steps(variables, batches)
 
-    # per-step total cost parity across the MIB gate
-    np.testing.assert_allclose(jax_costs, torch_costs, rtol=2e-3)
+    # per-step total cost parity across the MIB gate. Measured envelope
+    # when this test was built (CPU f32): per-step rel <= 8e-7 — the
+    # rtol here is ~100x that. This bound DOES discriminate: before the
+    # round-4 loss_ct gradient-topology fix (the reference's undetached
+    # centerness BCE target, losses/multisegment.py) steps 2-3 diverged
+    # at 1.4e-3 / 4.6e-3.
+    np.testing.assert_allclose(jax_costs, torch_costs, rtol=1e-4)
 
     # final parameter deltas: convert the torch final state and compare
     # the 3-step update in global L2 (elementwise comparison is
@@ -219,7 +231,10 @@ def test_train_kstep_parity(tmp_path, monkeypatch):
         den += float(np.sum(dw ** 2))
     assert den > 0, 'torch made no parameter update'
     rel = (num / den) ** 0.5
-    assert rel < 0.05, f'3-step param-delta divergence {rel:.4f}'
+    # measured 0.0049 when built — below even the intrinsic chaos floor
+    # of a +-1e-7 init perturbation run through torch twice (0.0126);
+    # the pre-fix gradient-topology bug measured 0.27 here
+    assert rel < 0.02, f'3-step param-delta divergence {rel:.4f}'
 
     # the torch side actually moved: guards against a silent no-op run
     assert all(c > 0 for c in torch_costs)
