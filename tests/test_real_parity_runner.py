@@ -79,7 +79,7 @@ def test_real_parity_runner_self_parity(tmp_path):
     ckpt.save(cfg.training['checkpoint_path'], 1, state,
               jax.random.PRNGKey(0))
     ckpt_path = os.path.join(cfg.training['checkpoint_path'],
-                             'checkpoint-latest.ckpt')
+                             'checkpoint-latest')
 
     work = str(tmp_path / 'work')
     # pass 1: ours only (no reference json yet) -> exit 0, prints metrics
