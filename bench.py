@@ -12,9 +12,12 @@ shared-backbone metric runs one backbone pass per span of 4 overlapping
 windows (48 spans = 192 windows/step; PARITY.md deviation) — fewer FLOPs
 per window AND more windows in flight. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
-64-window synthetic video; a packed variant streams 8 short videos
-through run_videos (cross-video window packing, raw-uint8 staging,
-device post) — the recommended dataset-scale config. The train phase times the full OpenTAL-final
+64-window synthetic video, then A/Bs the per-video device pipeline
+against the packed frame-staged mode on ONE 32-short-video workload
+back to back (bench_e2e_dataset — tunnel bandwidth drifts +-30%
+between phases, so only adjacent same-workload numbers compare modes;
+packed = `testing.packed` + `testing.device_ingest`, the recommended
+dataset-scale config). The train phase times the full OpenTAL-final
 jitted train step (EDL-MIB + PU actionness + SSL triplet) at its
 measured-best config (bs=8, bf16 convs, f32 params — round-3 sweep) and
 reports train MFU from the compiled step's XLA cost analysis.
@@ -158,38 +161,51 @@ def bench_e2e(model, variables, device_post, device_ingest=False):
     return 64 / dt, len(props)
 
 
-def bench_e2e_packed(model, variables, n_videos=32):
-    """Dataset-scale e2e mode: many short videos stream through
-    run_videos with device_ingest — consecutive videos' raw uint8
-    frames pack into contiguous device buffers (each frame ships ONCE;
-    staging overlaps the previous flush's forwards on a daemon thread),
-    windows gather/normalize on device and batch to full 128-window
-    forwards, fused device post-processing. This is `testing.packed` +
-    `testing.device_ingest` + `testing.device_nms`, the recommended
-    config for real THUMOS runs (MIGRATION.md). 32 videos x 8 windows
-    at frames_capacity 18432 = exactly 16 videos -> one FULL 128-window
-    forward per flush, two flushes (the round-3 bench staged one
-    half-empty 905 MB window batch and measured the tunnel, not the
-    pipeline — VERDICT r3 weak #1)."""
+def bench_e2e_dataset(model, variables, n_videos=32):
+    """Dataset-scale e2e A/B on ONE workload, measured back to back so
+    tunnel bandwidth drift between phases (+-30% observed) cannot fake
+    a mode difference: 32 short videos (8 windows each), (a) the
+    per-video device pipeline (device_ingest + device post, sequential
+    like the reference's test loop), then (b) the packed frame-staged
+    mode (run_videos_ingest: frames pack into contiguous device
+    buffers, each frame ships once, staging chunked + overlapped on the
+    prefetch thread, full 128-window forwards across video boundaries
+    — `testing.packed` + `testing.device_ingest`, the recommended
+    dataset-scale config, MIGRATION.md). frames_capacity = exactly 16
+    videos -> one FULL 128-window forward per flush, two flushes (the
+    round-3 bench staged one half-empty 905 MB window batch and
+    measured the tunnel, not the pipeline — VERDICT r3 weak #1).
+    Returns (per_video_clips_per_sec, packed_clips_per_sec)."""
     from opental_tpu.infer.pipeline import InferencePipeline
-    pipe = InferencePipeline(model, variables, clip_length=CLIP,
-                             stride=128, crop_size=CROP, conf_thresh=0.01,
-                             top_k=5000, nms_sigma=0.5, use_edl=True,
-                             os_head=True, device_post=True,
-                             device_ingest=True)
+    kwargs = dict(clip_length=CLIP, stride=128, crop_size=CROP,
+                  conf_thresh=0.01, top_k=5000, nms_sigma=0.5,
+                  use_edl=True, os_head=True, device_post=True,
+                  device_ingest=True)
+    per_video = InferencePipeline(model, variables, **kwargs)
+    packed = InferencePipeline(model, variables, **kwargs)
     rng = np.random.RandomState(0)
     frames = 128 * 7 + 256          # 8 windows per video
     windows_total = 8 * n_videos
     vids = [(f'v{i}', rng.randint(0, 255, (frames, CROP, CROP, 3),
                                   np.uint8), frames, 10.0)
             for i in range(n_videos)]
-    kwargs = dict(max_batch=BATCH_WINDOWS, frames_capacity=16 * frames)
-    pipe.run_videos(iter(vids[:2]), **kwargs)              # warm jits
+    pk = dict(max_batch=BATCH_WINDOWS, frames_capacity=16 * frames)
+    # warm both sets of jits before either timing
+    per_video.run_video(vids[0][1], sample_count=frames, sample_fps=10.0,
+                        max_batch=BATCH_WINDOWS)
+    packed.run_videos(iter(vids[:2]), **pk)
+
     t0 = time.perf_counter()
-    res = pipe.run_videos(iter(vids), **kwargs)
-    dt = time.perf_counter() - t0
+    for name, data, sc, fps in vids:
+        per_video.run_video(data, sample_count=sc, sample_fps=fps,
+                            max_batch=BATCH_WINDOWS)
+    per_video_cps = windows_total / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    res = packed.run_videos(iter(vids), **pk)
+    packed_cps = windows_total / (time.perf_counter() - t0)
     assert len(res) == n_videos
-    return windows_total / dt
+    return per_video_cps, packed_cps
 
 
 def bench_train(batch_size=8):
@@ -279,9 +295,9 @@ def main():
     del x   # free the 3.6 GB window batch before the shared-path bench
     shared_clips_per_sec = bench_shared(model, variables)
     e2e_host, _ = bench_e2e(model, variables, device_post=False)
-    e2e_device, _ = bench_e2e(model, variables, device_post=True,
-                              device_ingest=True)
-    e2e_packed = bench_e2e_packed(model, variables)
+    e2e_longvideo, _ = bench_e2e(model, variables, device_post=True,
+                                 device_ingest=True)
+    e2e_device, e2e_packed = bench_e2e_dataset(model, variables)
     train_clips_per_sec, train_mfu = bench_train()
 
     print(json.dumps({
@@ -292,8 +308,12 @@ def main():
         'mfu': round(clips_per_sec * FLOPS_PER_CLIP / V5E_PEAK_BF16, 4),
         'shared_backbone_clips_per_sec': round(shared_clips_per_sec, 2),
         'e2e_clips_per_sec_host_nms': round(e2e_host, 2),
+        # device_pipeline and packed measure the SAME 32-video workload
+        # back to back (bench_e2e_dataset); device_longvideo is the
+        # round<=3-comparable single-8320-frame-video figure
         'e2e_clips_per_sec_device_pipeline': round(e2e_device, 2),
         'e2e_clips_per_sec_packed': round(e2e_packed, 2),
+        'e2e_clips_per_sec_device_longvideo': round(e2e_longvideo, 2),
         'train_clips_per_sec': round(train_clips_per_sec, 3),
         'train_config': 'bs8_bf16',
         'train_mfu': round(train_mfu, 4),

@@ -115,6 +115,33 @@ def stack_windows_u8(data: np.ndarray, offsets: Sequence[int],
     return out, valid
 
 
+def stage_frames(buf: np.ndarray, chunk_frames: Optional[int] = 1024,
+                 pad_to: Optional[int] = None):
+    """Host->device uint8 frame staging. Splitting a big buffer into
+    ~28 MB chunk device_puts reassembled by ONE on-device concatenate
+    moves measurably faster through a slow link than one monolithic put
+    (measured 21.6 vs 15.7 MB/s — scripts/probe_transfer.py, BASELINE.md
+    "Transfer bandwidth"); chunk_frames=None restores the single put.
+
+    pad_to zero-pads the frame axis ON DEVICE to the bucketed graph
+    length, so the link never carries padding bytes — a short video
+    bucketed to 1024/16384 frames previously shipped up to 78% zeros."""
+    if pad_to is not None and pad_to < buf.shape[0]:
+        raise ValueError(f'pad_to {pad_to} < frames {buf.shape[0]}')
+    if chunk_frames is None or buf.shape[0] <= chunk_frames:
+        dev = jnp.asarray(buf)
+    else:
+        n_ck = -(-buf.shape[0] // chunk_frames)
+        parts = [jax.device_put(
+            buf[i * chunk_frames:(i + 1) * chunk_frames])
+            for i in range(n_ck)]
+        dev = jnp.concatenate(parts)
+    if pad_to is not None and pad_to > dev.shape[0]:
+        dev = jnp.pad(dev, ((0, pad_to - dev.shape[0]),)
+                      + ((0, 0),) * (dev.ndim - 1))
+    return dev
+
+
 def ingest_windows(clips_u8, valid):
     """Device half of stack_windows_u8: uint8 [0,255] -> f32 [-1,1] with
     frames >= valid zeroed (the reference's post-normalize zero pad)."""
@@ -291,10 +318,15 @@ class InferencePipeline:
             # ship the raw uint8 video once; gather + normalize windows
             # on device (8x fewer host->device bytes than f32 windows)
             t = data.shape[0]
-            tpad = max(-(-t // 1024) * 1024, self.clip_length)
-            video = np.zeros((tpad,) + data.shape[1:], np.uint8)
-            video[:t] = data
-            video_dev = jnp.asarray(video)
+            # the buffer must contain every window slice even when the
+            # npy is shorter than sample_count (dynamic_slice clamps
+            # starts, which would silently misalign the tail window)
+            tt = max(t, sample_count)
+            tpad = max(-(-tt // 1024) * 1024, self.clip_length)
+            # ship only the real frames; the bucketed graph length pads
+            # with device-side zeros (stage_frames pad_to)
+            video_dev = stage_frames(np.ascontiguousarray(data),
+                                     pad_to=tpad)
             n_pad = _bucket(len(offsets), granule)
             offs = np.zeros((n_pad,), np.int32)
             offs[:len(offsets)] = offsets
@@ -619,7 +651,10 @@ class InferencePipeline:
                 cap = -(-max(cursor, 1) // frames_capacity) \
                     * frames_capacity
                 shape = staged[0]['data'].shape[1:]
-                buf = np.zeros((cap,) + shape, np.uint8)
+                # host buffer covers only the real extent; the fixed
+                # graph capacity pads with device-side zeros at staging
+                # (stage_frames pad_to) so the link carries no padding
+                buf = np.zeros((cursor,) + shape, np.uint8)
                 offs_l, fv_l = [], []
                 for v in staged:
                     t = v['data'].shape[0]
@@ -634,7 +669,8 @@ class InferencePipeline:
                 n = offs.shape[0]
                 n_pad = _bucket(n, max_batch)
                 pad = np.zeros((n_pad - n,), np.int32)
-                plan = {'buf': buf, 'offs': np.concatenate([offs, pad]),
+                plan = {'buf': buf, 'cap': cap,
+                        'offs': np.concatenate([offs, pad]),
                         'fv': np.concatenate([fv, pad]), 'n': n,
                         'vids': staged}
                 staged, cursor = [], 0
@@ -667,18 +703,11 @@ class InferencePipeline:
 
         def stage(plan):
             """Host buffer -> device; runs on the prefetch worker so the
-            transfer overlaps the previous flush's forwards. Chunked
-            device_puts reassembled by one on-device concatenate move
-            faster through the tunnel than one monolithic put."""
+            transfer overlaps the previous flush's forwards (chunked —
+            see stage_frames)."""
             buf = plan.pop('buf')        # free host copy after staging
-            ck = stage_chunk_frames
-            if ck is None or buf.shape[0] <= ck:
-                plan['buf_dev'] = jnp.asarray(buf)
-            else:
-                n_ck = -(-buf.shape[0] // ck)
-                parts = [jax.device_put(buf[i * ck:(i + 1) * ck])
-                         for i in range(n_ck)]
-                plan['buf_dev'] = jnp.concatenate(parts)
+            plan['buf_dev'] = stage_frames(buf, stage_chunk_frames,
+                                           pad_to=plan.pop('cap'))
             return plan
 
         for plan in prefetch(plans(), transform=stage, depth=2):
@@ -750,8 +779,10 @@ class InferencePipeline:
                 return
             cap = _bucket(cursor + span, 8192)
             shape = staged[0]['data'].shape[1:]
-            buf = np.zeros((cap,) + shape, np.uint8)
-            fbuf = (np.zeros((cap,) + shape[:-1] + (2,), np.uint8)
+            # host buffers cover only the real extent; the bucketed
+            # graph capacity pads device-side (stage_frames pad_to)
+            buf = np.zeros((cursor,) + shape, np.uint8)
+            fbuf = (np.zeros((cursor,) + shape[:-1] + (2,), np.uint8)
                     if fusion else None)
             spans: List[Tuple[Dict[str, Any], int]] = []
             for v in staged:
@@ -761,8 +792,9 @@ class InferencePipeline:
                     f = v['flow']
                     fbuf[v['start']:v['start'] + f.shape[0]] = f
                 spans.extend((v, c) for c in v['counts'])
-            video_dev = jnp.asarray(buf)
-            flow_dev = jnp.asarray(fbuf) if fusion else None
+            video_dev = stage_frames(buf, pad_to=cap)
+            flow_dev = (stage_frames(fbuf, pad_to=cap)
+                        if fusion else None)
             all_bases = np.concatenate([v['bases'] for v in staged])
             all_local = np.concatenate([v['local'] for v in staged])
             all_fv = np.concatenate([v['fv'] for v in staged])
@@ -986,17 +1018,16 @@ class InferencePipeline:
         t = data.shape[0]
         tt = max(t, sample_count)
         tpad = -(-(tt + span) // 1024) * 1024
-        video = np.zeros((tpad,) + data.shape[1:], np.uint8)
-        video[:t] = data
-        video_dev = jnp.asarray(video)
+        # ship only the real frames; the bucketed graph length pads
+        # with device-side zeros (stage_frames pad_to)
+        video_dev = stage_frames(np.ascontiguousarray(data), pad_to=tpad)
         frames_valid = jnp.int32(min(t, sample_count))
         flow_dev = None
         if flow_data is not None:
             assert self.flow_model is not None
             flow_data = transforms.center_crop(flow_data, self.crop_size)
-            flow = np.zeros((tpad,) + flow_data.shape[1:], np.uint8)
-            flow[:min(t, flow_data.shape[0])] = flow_data[:t]
-            flow_dev = jnp.asarray(flow)
+            flow_dev = stage_frames(
+                np.ascontiguousarray(flow_data[:t]), pad_to=tpad)
 
         to_host = not self.device_post
         segs, scores, uncts, acts = [], [], [], []

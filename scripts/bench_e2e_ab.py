@@ -25,13 +25,9 @@ def main():
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     t0 = time.time()
-    e2e_device, _ = bench.bench_e2e(model, variables, device_post=True,
-                                    device_ingest=True)
-    print(f'e2e_device: {e2e_device:.2f} clips/s '
-          f'[{time.time() - t0:.0f}s]', flush=True)
-    t0 = time.time()
-    e2e_packed = bench.bench_e2e_packed(model, variables)
-    print(f'e2e_packed: {e2e_packed:.2f} clips/s '
+    e2e_device, e2e_packed = bench.bench_e2e_dataset(model, variables)
+    print(f'e2e_device: {e2e_device:.2f} clips/s, '
+          f'e2e_packed: {e2e_packed:.2f} clips/s '
           f'[{time.time() - t0:.0f}s]', flush=True)
     print(f'packed >= device: {e2e_packed >= e2e_device}', flush=True)
 

@@ -196,6 +196,40 @@ def test_packed_ingest_matches_per_video():
         _assert_same(ref, packed[name])
 
 
+def test_ingest_tail_window_beyond_npy_length():
+    """A video npy can be SHORTER than the annotated sample_count (the
+    reference zero-pads: test.py:48-76). The device-ingest buffer must
+    cover max(t, sample_count): with t=1000 (within clip_length of the
+    1024 frame bucket) and sample_count=1100, the tail window offset
+    972 exceeds a t-bucketed buffer and dynamic_slice would CLAMP it to
+    896 — real frames land at the wrong in-window positions. Discovered
+    by inspection in round 4; this pins the fix."""
+    model, variables = _model_and_vars()
+    kwargs = dict(clip_length=CLIP, stride=512, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True)
+    host = InferencePipeline(model, variables, **kwargs)
+    ingest = InferencePipeline(model, variables, device_ingest=True,
+                               **kwargs)
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 255, (1000, 40, 40, 3), np.uint8)
+    ref = host.run_video(data, sample_count=1100, sample_fps=10.0)
+    got = ingest.run_video(data, sample_count=1100, sample_fps=10.0)
+    _assert_same(ref, got)
+
+
+def test_stage_frames_chunked_equals_monolithic():
+    """Chunked staging (the measured-faster transfer mode) must
+    reassemble to exactly the input buffer, including a ragged tail
+    chunk; chunk_frames=None is the monolithic put."""
+    from opental_tpu.infer.pipeline import stage_frames
+    rng = np.random.RandomState(0)
+    buf = rng.randint(0, 255, (350, 4, 5, 3), np.uint8)
+    for ck in (100, 128, 350, 1000, None):
+        got = np.asarray(stage_frames(buf, ck))
+        np.testing.assert_array_equal(got, buf)
+
+
 def test_packed_ingest_stages_frames_once():
     """The ingest-packed path must ship each video's frames ONCE as a
     raw uint8 frame buffer of FIXED bucketed capacity (one jit graph per
