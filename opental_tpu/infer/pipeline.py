@@ -251,9 +251,23 @@ class InferencePipeline:
                 'shared_backbone fusion runs are single-device'
 
         self._ingest_forward = None
-        if device_ingest:
-            assert flow_model is None, \
-                'device_ingest supports single-stream models'
+        if device_ingest and flow_model is not None:
+            # fusion ingest: both streams' raw frames stage once; the
+            # SAME window offsets gather from each buffer but each
+            # stream keeps its own frames-valid (TVL1 flow npys can be
+            # one frame shorter than RGB). Mesh+fusion is excluded
+            # above (mesh-sharded inference is single-stream).
+            def ingest_fwd_fusion(variables, video_u8, offs, frames_valid,
+                                  flow_vars, flow_u8, flow_valid):
+                clips = device_windows(video_u8, offs, frames_valid,
+                                       clip_length)
+                fclips = device_windows(flow_u8, offs, flow_valid,
+                                        clip_length)
+                return forward_decode(variables, clips, flow_vars,
+                                      fclips)
+
+            self._ingest_forward = jax.jit(ingest_fwd_fusion)
+        elif device_ingest:
 
             def ingest_fwd(variables, video_u8, offs, frames_valid):
                 return forward_decode(
@@ -327,6 +341,19 @@ class InferencePipeline:
             # with device-side zeros (stage_frames pad_to)
             video_dev = stage_frames(np.ascontiguousarray(data),
                                      pad_to=tpad)
+            flow_dev = None
+            ffv = None
+            if flow_data is not None:
+                # fusion: the flow stream stages once too, same window
+                # offsets, its own frames-valid (flow npys can be one
+                # frame shorter than RGB)
+                flow_data = transforms.center_crop(flow_data,
+                                                   self.crop_size)
+                tf_ = flow_data.shape[0]
+                ftpad = max(-(-max(tf_, sample_count) // 1024) * 1024,
+                            self.clip_length)
+                flow_dev = stage_frames(np.ascontiguousarray(flow_data),
+                                        pad_to=ftpad)
             n_pad = _bucket(len(offsets), granule)
             offs = np.zeros((n_pad,), np.int32)
             offs[:len(offsets)] = offsets
@@ -334,9 +361,14 @@ class InferencePipeline:
             # axis; pad windows carry valid=0 -> all-zero input)
             fv = np.zeros((n_pad,), np.int32)
             fv[:len(offsets)] = min(t, sample_count)
+            if flow_data is not None:
+                ffv = np.zeros((n_pad,), np.int32)
+                ffv[:len(offsets)] = min(tf_, sample_count)
             chunk_iter = [
                 (None, (jnp.asarray(offs[i:i + max_batch]),
-                        jnp.asarray(fv[i:i + max_batch])))
+                        jnp.asarray(fv[i:i + max_batch]),
+                        (None if ffv is None
+                         else jnp.asarray(ffv[i:i + max_batch]))))
                 for i in range(0, n_pad, max_batch)]
         else:
             clips = stack_windows(data, offsets, self.clip_length,
@@ -353,9 +385,14 @@ class InferencePipeline:
         segs, scores, uncts, acts = [], [], [], []
         for i, off_chunk in chunk_iter:
             if self.device_ingest:
-                offs_c, fv_c = off_chunk
-                dec = self._ingest_forward(self.variables, video_dev,
-                                           offs_c, fv_c)
+                offs_c, fv_c, ffv_c = off_chunk
+                if flow_dev is not None:
+                    dec = self._ingest_forward(
+                        self.variables, video_dev, offs_c, fv_c,
+                        self.flow_variables, flow_dev, ffv_c)
+                else:
+                    dec = self._ingest_forward(self.variables, video_dev,
+                                               offs_c, fv_c)
             else:
                 chunk = jnp.asarray(clips[i:i + max_batch])
                 fchunk = (jnp.asarray(flow_clips[i:i + max_batch])

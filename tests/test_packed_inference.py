@@ -196,6 +196,36 @@ def test_packed_ingest_matches_per_video():
         _assert_same(ref, packed[name])
 
 
+@pytest.mark.slow
+def test_ingest_fusion_matches_host():
+    """device_ingest + two-stream fusion (run_video): both streams' raw
+    frames stage once into their own device buffers, the SAME window
+    offsets gather from each, and each stream keeps its own
+    frames-valid. The flow video is one frame SHORTER than RGB (TVL1
+    flow npys are, preprocess.py) so the streams' tail zero-masks
+    diverge — must match the host fusion path exactly (which is itself
+    checked against the reference's parse_output averaging in
+    test_e2e_fusion)."""
+    model, variables = _model_and_vars()
+    flow_model, flow_vars = _model_and_vars(in_channels=2, seed=7)
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True, flow_model=flow_model,
+                  flow_variables=flow_vars)
+    host = InferencePipeline(model, variables, **kwargs)
+    ingest = InferencePipeline(model, variables, device_ingest=True,
+                               **kwargs)
+    rng = np.random.RandomState(21)
+    data = rng.randint(0, 255, (290, 40, 40, 3), np.uint8)
+    flow = rng.randint(0, 255, (289, 40, 40, 2), np.uint8)
+    ref = host.run_video(data, sample_count=290, sample_fps=10.0,
+                         flow_data=flow)
+    got = ingest.run_video(data, sample_count=290, sample_fps=10.0,
+                           flow_data=flow)
+    assert len(ref) > 0
+    _assert_same(ref, got)
+
+
 def test_ingest_tail_window_beyond_npy_length():
     """A video npy can be SHORTER than the annotated sample_count (the
     reference zero-pads: test.py:48-76). The device-ingest buffer must
