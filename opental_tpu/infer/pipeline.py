@@ -468,8 +468,8 @@ class InferencePipeline:
         run_videos_shared; with device_ingest the videos' raw frames
         pack into a contiguous device buffer via run_videos_ingest
         (each frame ships once — the fastest e2e mode on a
-        transfer-bound link); otherwise windows stage host-side as
-        below (the only packed mode that supports two-stream fusion).
+        transfer-bound link; fusion stages twin RGB/flow buffers);
+        otherwise windows stage host-side as below.
         """
         if self.shared_backbone:
             return self.run_videos_shared(videos,
@@ -666,11 +666,15 @@ class InferencePipeline:
         zero padding, test.py:67-76). Replaces the reference's
         sequential per-window loop (test.py:227-235).
 
-        videos: iterable of (name, data, sample_count, sample_fps),
-        consumed lazily. Returns {name: proposals}.
+        videos: iterable of (name, data, sample_count, sample_fps) or
+        (..., flow_data) tuples (two-stream fusion), consumed lazily.
+        Returns {name: proposals}. In fusion mode both streams stage
+        into twin buffers sharing ONE cursor layout (per-video region =
+        max of the streams' extents, gap cost <=1 frame/video since TVL1
+        flow is at most one frame shorter), so one offsets array gathers
+        from both; each stream keeps its own frames-valid.
         """
-        assert self.flow_model is None, \
-            'device_ingest packing is single-stream'
+        fusion = self.flow_model is not None
         if self.mesh is not None:
             assert max_batch % self.mesh.size == 0, \
                 'max_batch must divide over the mesh data axis'
@@ -692,7 +696,9 @@ class InferencePipeline:
                 # graph capacity pads with device-side zeros at staging
                 # (stage_frames pad_to) so the link carries no padding
                 buf = np.zeros((cursor,) + shape, np.uint8)
-                offs_l, fv_l = [], []
+                fbuf = (np.zeros((cursor,) + shape[:-1] + (2,), np.uint8)
+                        if fusion else None)
+                offs_l, fv_l, ffv_l = [], [], []
                 for v in staged:
                     t = v['data'].shape[0]
                     buf[v['start']:v['start'] + t] = v['data']
@@ -701,14 +707,22 @@ class InferencePipeline:
                     fv_l.append(np.full((len(v['offsets']),), v['fv'],
                                         np.int32))
                     del v['data']          # free per-video host frames
+                    if fusion:
+                        tf_ = v['flow'].shape[0]
+                        fbuf[v['start']:v['start'] + tf_] = v['flow']
+                        ffv_l.append(np.full((len(v['offsets']),),
+                                             v['ffv'], np.int32))
+                        del v['flow']
                 offs = np.concatenate(offs_l)
                 fv = np.concatenate(fv_l)
                 n = offs.shape[0]
                 n_pad = _bucket(n, max_batch)
                 pad = np.zeros((n_pad - n,), np.int32)
-                plan = {'buf': buf, 'cap': cap,
+                plan = {'buf': buf, 'fbuf': fbuf, 'cap': cap,
                         'offs': np.concatenate([offs, pad]),
-                        'fv': np.concatenate([fv, pad]), 'n': n,
+                        'fv': np.concatenate([fv, pad]),
+                        'ffv': (np.concatenate(ffv_l + [pad])
+                                if fusion else None), 'n': n,
                         'vids': staged}
                 staged, cursor = [], 0
                 return plan
@@ -716,12 +730,20 @@ class InferencePipeline:
             for item in videos:
                 name, data, sample_count, sample_fps = item[:4]
                 data = transforms.center_crop(data, self.crop_size)
+                flow_data = None
+                if fusion:
+                    flow_data = transforms.center_crop(item[4],
+                                                       self.crop_size)
                 offsets = window_offsets(sample_count, clip, stride)
                 t = data.shape[0]
                 # the video's region must physically contain every
                 # window slice (dynamic_slice clamps starts at the
-                # buffer end, which would silently misalign windows)
+                # buffer end, which would silently misalign windows);
+                # in fusion mode both streams share the region, sized
+                # to the larger extent
                 need = max(offsets[-1] + clip, t)
+                if fusion:
+                    need = max(need, flow_data.shape[0])
                 if staged and cursor + need > frames_capacity:
                     plan = close()
                     if plan is not None:
@@ -730,6 +752,9 @@ class InferencePipeline:
                     'name': name, 'data': data, 'start': cursor,
                     'offsets': offsets, 'fps': sample_fps,
                     'fv': cursor + min(t, sample_count),
+                    'flow': flow_data,
+                    'ffv': (cursor + min(flow_data.shape[0], sample_count)
+                            if fusion else None),
                     'need': len(offsets),
                     'got': {k: [] for k in ('segments', 'scores',
                                             'uncertainty', 'actionness')}})
@@ -743,8 +768,13 @@ class InferencePipeline:
             transfer overlaps the previous flush's forwards (chunked —
             see stage_frames)."""
             buf = plan.pop('buf')        # free host copy after staging
+            cap = plan.pop('cap')
             plan['buf_dev'] = stage_frames(buf, stage_chunk_frames,
-                                           pad_to=plan.pop('cap'))
+                                           pad_to=cap)
+            fbuf = plan.pop('fbuf')
+            plan['fbuf_dev'] = (None if fbuf is None else
+                                stage_frames(fbuf, stage_chunk_frames,
+                                             pad_to=cap))
             return plan
 
         for plan in prefetch(plans(), transform=stage, depth=2):
@@ -752,10 +782,18 @@ class InferencePipeline:
             offs, fv, n = plan['offs'], plan['fv'], plan['n']
             vi = 0
             for i in range(0, offs.shape[0], max_batch):
-                dec = self._ingest_forward(
-                    self.variables, buf_dev,
-                    jnp.asarray(offs[i:i + max_batch]),
-                    jnp.asarray(fv[i:i + max_batch]))
+                if fusion:
+                    dec = self._ingest_forward(
+                        self.variables, buf_dev,
+                        jnp.asarray(offs[i:i + max_batch]),
+                        jnp.asarray(fv[i:i + max_batch]),
+                        self.flow_variables, plan['fbuf_dev'],
+                        jnp.asarray(plan['ffv'][i:i + max_batch]))
+                else:
+                    dec = self._ingest_forward(
+                        self.variables, buf_dev,
+                        jnp.asarray(offs[i:i + max_batch]),
+                        jnp.asarray(fv[i:i + max_batch]))
                 rows = {
                     'segments': np.asarray(dec.segments),
                     'scores': np.asarray(dec.scores),
@@ -777,7 +815,7 @@ class InferencePipeline:
                         vi += 1
             for vid in plan['vids']:
                 self._finish_packed(vid, results)
-            del plan['buf_dev']
+            del plan['buf_dev'], plan['fbuf_dev']
         return results
 
     def run_videos_shared(self, videos, frames_capacity: int = 32768

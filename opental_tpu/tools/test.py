@@ -143,11 +143,11 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
     # videos' RAW frames pack into a contiguous device buffer and
     # windows gather on device — each frame ships ONCE, staging
     # overlaps compute (run_videos_ingest; the fastest e2e mode on a
-    # transfer-bound link and the recommended dataset-scale config);
-    # with testing.shared_backbone it packs k-window SPANS across
-    # videos (run_videos_shared — full 48-span chunks dataset-wide);
-    # plain packed stages overlapping windows host-side (the only
-    # flavor supporting two-stream fusion).
+    # transfer-bound link and the recommended dataset-scale config;
+    # fusion stages twin RGB/flow frame buffers); with
+    # testing.shared_backbone it packs k-window SPANS across videos
+    # (run_videos_shared — full 48-span chunks dataset-wide); plain
+    # packed stages overlapping windows host-side.
     if te.get('packed', False):
         def stream():
             for video_name in names:

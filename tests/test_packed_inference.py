@@ -226,6 +226,39 @@ def test_ingest_fusion_matches_host():
     _assert_same(ref, got)
 
 
+@pytest.mark.slow
+def test_packed_ingest_fusion_matches_per_video():
+    """device_ingest + packed + fusion (run_videos_ingest): twin
+    RGB/flow frame buffers share one cursor layout (per-video region =
+    max of the streams' extents) so one offsets array gathers from
+    both. Flow videos run one frame shorter than RGB (TVL1), shifting
+    the streams' tail zero-masks apart; frames_capacity=1024 forces a
+    mid-run flush; v_c (100 frames < clip) covers the short video whose
+    window reads into the next video's region on BOTH buffers."""
+    model, variables = _model_and_vars()
+    flow_model, flow_vars = _model_and_vars(in_channels=2, seed=7)
+    kwargs = dict(clip_length=CLIP, stride=STRIDE, crop_size=CROP,
+                  conf_thresh=0.01, top_k=50, nms_sigma=0.5,
+                  use_edl=True, os_head=True, flow_model=flow_model,
+                  flow_variables=flow_vars)
+    host = InferencePipeline(model, variables, **kwargs)
+    pipe = InferencePipeline(model, variables, device_ingest=True,
+                             **kwargs)
+    rgb = _videos(seed=11)
+    rng = np.random.RandomState(12)
+    videos = [(name, data, sc, fps,
+               rng.randint(0, 255, (sc - 1, 40, 40, 2), np.uint8))
+              for name, data, sc, fps in rgb]
+
+    packed = pipe.run_videos(iter(videos), max_batch=16,
+                             frames_capacity=1024)
+    assert set(packed) == {v[0] for v in videos}
+    for name, data, sc, fps, flow in videos:
+        ref = host.run_video(data, sample_count=sc, sample_fps=fps,
+                             flow_data=flow)
+        _assert_same(ref, packed[name])
+
+
 def test_ingest_tail_window_beyond_npy_length():
     """A video npy can be SHORTER than the annotated sample_count (the
     reference zero-pads: test.py:48-76). The device-ingest buffer must
