@@ -78,7 +78,7 @@ def stem_pack96(xp: Array, a_t: int = 4, interpret: bool = False) -> Array:
     out = pl.pallas_call(
         kern,
         grid=(b, t_out),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 1, hp // 2, wp // 2, 8 * a_t * c),
             lambda bi, ui: (bi, ui, 0, 0, 0)),
@@ -200,7 +200,7 @@ def stem_pack96_v2(xw: Array, a_t: int = 4, c: int = 3,
     return pl.pallas_call(
         kern,
         grid=(b, t_out // fp),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 1, ch, hp // 2, wlane),
             lambda bi, ui: (bi, ui, 0, 0, 0)),
