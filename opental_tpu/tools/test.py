@@ -26,6 +26,16 @@ from opental_tpu.utils.torch_convert import (align_bn_collections,
                                              merge_variables)
 
 
+def packed_frames(te: dict) -> int:
+    """frames_capacity for the packed modes, shared by every
+    dataset-scale driver (test / threshold / cross-data): ingest flushes
+    stage a full frame buffer each — 16384 frames (~450 MB at crop 96)
+    keeps 3 buffers in flight under the HBM budget; the window/span
+    staged paths use their measured 32768 (BASELINE.md)."""
+    return te.get('packed_frames',
+                  16384 if te.get('device_ingest', True) else 32768)
+
+
 def resolve_checkpoint(path: str) -> str:
     """Follow the 'checkpoint-latest' symlink convention
     (test.py:15-22)."""
@@ -104,7 +114,12 @@ def build_pipeline(cfg: Config) -> Tuple[InferencePipeline, dict, dict]:
         # host->device bytes)
         device_post=te.get('device_nms', True),
         n_candidates=te.get('n_candidates', 2048),
-        device_ingest=te.get('device_ingest', False),
+        # device_ingest default TRUE since round 5: raw uint8 frames ship
+        # once and window/normalize on device — equivalence-tested to the
+        # host-staged path with no parity deviation, and the link is the
+        # measured bottleneck (BASELINE.md "Transfer bandwidth"). Set
+        # false for host-side f32 staging.
+        device_ingest=te.get('device_ingest', True),
         # testing.shared_backbone (default OFF): one backbone pass per
         # span of 4 consecutive windows instead of per overlapping
         # window (1.58x fewer backbone FLOPs at stride 128, +12.5%
@@ -134,7 +149,9 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
     names = list(video_infos.keys())[:max_videos]
     fusion = te.get('fusion', False)
 
-    # testing.packed: cross-video packing — every forward runs at the
+    # testing.packed (default TRUE since round 5, composing with the
+    # device_ingest default into run_videos_ingest — the measured-fastest
+    # dataset-scale mode, equivalence-tested with no parity deviation):
     # throughput-optimal batch regardless of video length (short videos
     # underfill per-video batches; BASELINE.md "Window-batch sweep").
     # Same results as per-video runs up to last-ulp batch tiling
@@ -148,7 +165,7 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
     # testing.shared_backbone it packs k-window SPANS across videos
     # (run_videos_shared — full 48-span chunks dataset-wide); plain
     # packed stages overlapping windows host-side.
-    if te.get('packed', False):
+    if te.get('packed', True):
         def stream():
             for video_name in names:
                 info = video_infos[video_name]
@@ -163,14 +180,9 @@ def run_test(cfg: Config, max_videos: Optional[int] = None) -> str:
 
         # load video i+1 from disk while the device chews on video i
         # (run_videos blocks on device fetches; np.load releases the GIL)
-        # ingest flushes stage a full frame buffer each: 16384 frames
-        # (~450 MB at crop 96) keeps 3 buffers in flight under the HBM
-        # budget; the shared/window paths use their measured 32768
         result_dict = pipe.run_videos(
             prefetch(stream()), max_batch=te.get('packed_batch', 128),
-            frames_capacity=te.get(
-                'packed_frames',
-                16384 if te.get('device_ingest', False) else 32768))
+            frames_capacity=packed_frames(te))
         for i, video_name in enumerate(names):
             print(f'[{i + 1}/{len(names)}] {video_name}: '
                   f'{len(result_dict[video_name])} proposals')

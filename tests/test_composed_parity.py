@@ -102,13 +102,18 @@ def test_composed_pipeline_parity(tmp_path, monkeypatch):
         ref_json = json.load(f)
 
     # ---- our driver on the same ckpt/videos ----
+    # byte-exact host staging + host NMS (the parity-reference mode;
+    # packed/device_ingest/device_nms — all default-on since round 5 —
+    # are pinned OFF here and covered by level 1b below)
     from opental_tpu.tools.test import run_test
     cfg = load_config(cfg_path, overrides={
         'testing.checkpoint_path': ckpt_path,
         'testing.top_k': 200,
         'model.compute_dtype': 'float32',
         'dataset.testing.clip_stride': 128,
-        'testing.device_nms': False,   # exact-reference host NMS path
+        'testing.device_nms': False,
+        'testing.device_ingest': False,
+        'testing.packed': False,
     })
     our_path = run_test(cfg)
     with open(our_path) as f:
@@ -117,15 +122,15 @@ def test_composed_pipeline_parity(tmp_path, monkeypatch):
     # ---- level 1: per-proposal parity ----
     assert_proposal_parity(ref_json, our_json)
 
-    # ---- level 1b: the fused DEVICE post-processing path (default-on
-    # in tools/test.py) composes to the same proposals ----
+    # ---- level 1b: the DEFAULT CLI mode (packed frame-staged ingest +
+    # fused device post-processing, all default-on in tools/test.py
+    # since round 5) composes to the same proposals as the reference
+    # driver ----
     dev_cfg = load_config(cfg_path, overrides={
         'testing.checkpoint_path': ckpt_path,
         'testing.top_k': 200,
         'model.compute_dtype': 'float32',
         'dataset.testing.clip_stride': 128,
-        'testing.device_nms': True,
-        'testing.device_ingest': True,
         'testing.output_json': 'dets_device.json',
     })
     dev_path = run_test(dev_cfg)

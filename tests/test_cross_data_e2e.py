@@ -54,6 +54,10 @@ def test_cross_data_merged_json(tmp_path):
         f.write('Act01\n')
 
     anet_info = os.path.join(anet_root, 'annotations', 'video_info.json')
+    # pin the per-video mode for the baseline pass; the packed default
+    # (ON since round 5) is exercised by the second pass below and the
+    # routing is guarded by tests/test_driver_routing.py
+    cfg['testing']['packed'] = False
     merged_path = run_cross_data(
         cfg, anet_video_info=anet_info,
         anet_npy_dir=os.path.join(anet_root, 'npy'),
