@@ -214,12 +214,24 @@ class InferencePipeline:
                                   os_head=os_head, score_func=score_func,
                                   evidence=evidence, negate_conf=use_gcpl)
 
-        if mesh is not None:
+        def _no_plain_fusion(*a, **k):
+            raise AssertionError('mesh + fusion inference must route the '
+                                 'device_ingest paths')
+
+        if mesh is not None and flow_model is not None:
+            # two-stream fusion on the mesh runs ONLY via the twin-
+            # buffer ingest forward below (both frame buffers + both
+            # variable sets replicate, the window axis shards); the
+            # plain window-staged forwards stay unreachable so a
+            # mis-routed call fails loudly instead of dropping the flow
+            # stream
+            assert device_ingest, ('mesh + two-stream fusion requires '
+                                   'device_ingest (twin-buffer ingest)')
+            self._forward_decode = _no_plain_fusion
+        elif mesh is not None:
             # shard the window axis across the data mesh: windows of one
             # video spread over chips (the workload's natural sequence
             # parallelism, SURVEY.md §5), params replicated
-            assert flow_model is None, \
-                'mesh-sharded inference supports single-stream models'
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from opental_tpu.parallel.mesh import DATA_AXIS
@@ -255,8 +267,7 @@ class InferencePipeline:
             # fusion ingest: both streams' raw frames stage once; the
             # SAME window offsets gather from each buffer but each
             # stream keeps its own frames-valid (TVL1 flow npys can be
-            # one frame shorter than RGB). Mesh+fusion is excluded
-            # above (mesh-sharded inference is single-stream).
+            # one frame shorter than RGB)
             def ingest_fwd_fusion(variables, video_u8, offs, frames_valid,
                                   flow_vars, flow_u8, flow_valid):
                 clips = device_windows(video_u8, offs, frames_valid,
@@ -266,7 +277,22 @@ class InferencePipeline:
                 return forward_decode(variables, clips, flow_vars,
                                       fclips)
 
-            self._ingest_forward = jax.jit(ingest_fwd_fusion)
+            if mesh is not None:
+                # mesh fusion: twin frame buffers + both variable sets
+                # replicate; window offsets and BOTH per-stream valids
+                # shard over the data axis — the same window-axis
+                # sequence parallelism as the single-stream ingest path
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from opental_tpu.parallel.mesh import DATA_AXIS
+                rep = NamedSharding(mesh, P())
+                shd = NamedSharding(mesh, P(DATA_AXIS))
+                self._ingest_forward = jax.jit(
+                    ingest_fwd_fusion,
+                    in_shardings=(rep, rep, shd, shd, rep, rep, shd),
+                    out_shardings=shd)
+            else:
+                self._ingest_forward = jax.jit(ingest_fwd_fusion)
         elif device_ingest:
 
             def ingest_fwd(variables, video_u8, offs, frames_valid):
@@ -300,7 +326,10 @@ class InferencePipeline:
                           else ingest_windows(flow_u8, fvalid))
             return forward_decode(variables, clips, flow_vars, flow_clips)
 
-        if mesh is not None:
+        if mesh is not None and flow_model is not None:
+            # see _no_plain_fusion above: mesh fusion routes ingest only
+            self._packed_forward = _no_plain_fusion
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from opental_tpu.parallel.mesh import DATA_AXIS
@@ -327,6 +356,13 @@ class InferencePipeline:
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
         granule = self.mesh.size if self.mesh is not None else 8
+        if self.mesh is not None:
+            # the window axis buckets to mesh.size, but chunks split by
+            # max_batch — a non-divisible max_batch would hand the data
+            # axis a ragged tail chunk and fail with an opaque sharding
+            # error (same guard as run_videos_ingest)
+            assert max_batch % self.mesh.size == 0, \
+                'max_batch must divide over the mesh data axis'
 
         if self.device_ingest:
             # ship the raw uint8 video once; gather + normalize windows
