@@ -167,6 +167,11 @@ def extract_positive_features(model, variables, batches, clip_length: int,
 
     @jax.jit
     def forward(variables, clips):
+        if clips.dtype == jnp.uint8:
+            # raw uint8 staging (4x less transfer); dtype is a static
+            # trace property, so f32 batches keep a no-op graph —
+            # same device-side normalize as train/step.device_ingest
+            clips = (clips.astype(jnp.float32) / 255.0) * 2.0 - 1.0
         out = model.apply(variables, clips, get_feat=True)
         return (out['loc'], out['priors'], out['conf_feat'],
                 out['prop_conf_feat'])

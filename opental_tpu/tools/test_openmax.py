@@ -28,7 +28,8 @@ from opental_tpu.data import transforms
 from opental_tpu.data.thumos import (ThumosTrainDataset,
                                      get_class_index_map, get_video_anno,
                                      get_video_info)
-from opental_tpu.infer.pipeline import (stack_windows, window_offsets)
+from opental_tpu.infer.pipeline import (ingest_windows, stack_windows,
+                                        stack_windows_u8, window_offsets)
 from opental_tpu.openset.openmax import (OpenMax, accumulate_mavs,
                                          extract_positive_features,
                                          save_mav_dist, weibull_fitting)
@@ -59,7 +60,10 @@ def compute_mav_dist(cfg: Config, mav_dist_dir: str,
         cfg.get_path('dataset.training.video_data_path'), infos, annos,
         clip_length=clip_length, crop_size=crop_size,
         stride=cfg.get_path('dataset.training.clip_stride', 30),
-        training=False)
+        # MAV extraction scans the whole TRAINING set: ship raw uint8
+        # and normalize inside the jitted feature forward (4x less
+        # transfer, same as every other driver since round 5)
+        training=False, uint8_ingest=True)
 
     def batch_iter():
         for i in range(len(dataset) if max_clips is None
@@ -78,9 +82,19 @@ def compute_mav_dist(cfg: Config, mav_dist_dir: str,
 
 class OpenMaxInference:
     """Recalibrated window-batched inference shared by the in-domain
-    and cross-data OpenMax drivers."""
+    and cross-data OpenMax drivers.
 
-    def __init__(self, cfg: Config, mav_dist_dir: str, tailsize: int = 20):
+    u8_staging (default ON, like every other driver): windows ship as
+    raw uint8 with per-window frames-valid and normalize inside the
+    jitted forward (ingest_windows) — 4x less host->device transfer
+    than f32 staging, which matters triply here because the OpenMax
+    protocol runs a train-set MAV pass + test pass + cross-data pass
+    (reference test_openmax.py:248-327). Equivalent to the f32 path up
+    to the jitted /255 lowering's 1 ulp (tests/test_openmax_parity.py).
+    """
+
+    def __init__(self, cfg: Config, mav_dist_dir: str, tailsize: int = 20,
+                 u8_staging: bool = True):
         te = cfg.testing
         self.cfg = cfg
         self.clip_length = cfg.get_path('dataset.testing.clip_length', 256)
@@ -109,8 +123,8 @@ class OpenMaxInference:
         self.openmax = OpenMax(wm)
         self.openmax_prop = OpenMax(wpm)
         clip_length = self.clip_length
+        self.u8_staging = u8_staging
 
-        @jax.jit
         def forward(variables, clips):
             out = model.apply(variables, clips, get_feat=True)
             loc, prop_loc = out['loc'], out['prop_loc']
@@ -125,17 +139,29 @@ class OpenMaxInference:
                     jax.nn.sigmoid(out['center'][..., 0]),
                     out['conf_feat'], out['prop_conf_feat'])
 
-        self._forward = forward
+        self._forward = jax.jit(forward)
+
+        @jax.jit
+        def forward_u8(variables, clips_u8, valid):
+            return forward(variables, ingest_windows(clips_u8, valid))
+
+        self._forward_u8 = forward_u8
 
     def run_video(self, data: np.ndarray, sample_count: int,
                   sample_fps: float) -> List[dict]:
         data = transforms.center_crop(data, self.crop_size)
         offsets = window_offsets(sample_count, self.clip_length,
                                  self.stride)
-        clips = stack_windows(data, offsets, self.clip_length)
+        if self.u8_staging:
+            clips, valid = stack_windows_u8(data, offsets,
+                                            self.clip_length)
+            outs = self._forward_u8(self.variables, jnp.asarray(clips),
+                                    jnp.asarray(valid))
+        else:
+            clips = stack_windows(data, offsets, self.clip_length)
+            outs = self._forward(self.variables, jnp.asarray(clips))
         segs, conf, prop_conf, center, feat, prop_feat = [
-            np.asarray(a) for a in self._forward(self.variables,
-                                                 jnp.asarray(clips))]
+            np.asarray(a) for a in outs]
         n = len(offsets)
         segs, conf, prop_conf = segs[:n], conf[:n], prop_conf[:n]
         center, feat, prop_feat = center[:n], feat[:n], prop_feat[:n]

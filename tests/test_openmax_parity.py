@@ -216,3 +216,28 @@ def test_openmax_cli_end_to_end(tmp_path):
     cli.main([cfg_path])
     again = np.load(os.path.join(mav_dir, npzs[0]))
     np.testing.assert_allclose(again['mav'], marker_mav)
+
+    # uint8 staging (default since round 5: raw windows + frames-valid,
+    # normalized inside the jitted forward) must reproduce the f32
+    # staging path — only the jitted /255 lowering's <=1 ulp separates
+    # the two (tests/test_uint8_ingest.py)
+    np.savez(os.path.join(mav_dir, npzs[0]), **marker)  # undo the marker
+    from opental_tpu.data.thumos import get_video_info
+    infos = get_video_info(cfg.get_path(
+        'dataset.testing.video_info_path'))
+    name = next(iter(infos))
+    data = np.load(os.path.join(
+        cfg.get_path('dataset.testing.video_data_path'), name + '.npy'))
+    om_u8 = cli.OpenMaxInference(cfg, mav_dir)
+    assert om_u8.u8_staging
+    om_f32 = cli.OpenMaxInference(cfg, mav_dir, u8_staging=False)
+    props_u8 = om_u8.run_video(data, infos[name]['sample_count'],
+                               infos[name]['sample_fps'])
+    props_f32 = om_f32.run_video(data, infos[name]['sample_count'],
+                                 infos[name]['sample_fps'])
+    assert len(props_u8) == len(props_f32) > 0
+    for a, b in zip(props_u8, props_f32):
+        assert a['label'] == b['label']
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
+        np.testing.assert_allclose(a['segment'], b['segment'],
+                                   rtol=1e-4, atol=1e-4)
