@@ -14,10 +14,12 @@ per window AND more windows in flight. The e2e phase runs the full
 InferencePipeline (videos -> detection proposals incl. host soft-NMS) on a
 64-window synthetic video, then A/Bs the per-video device pipeline
 against the packed frame-staged mode on ONE 32-short-video workload
-back to back (bench_e2e_dataset — tunnel bandwidth drifts +-30%
-between phases, so only adjacent same-workload numbers compare modes;
-packed = `testing.packed` + `testing.device_ingest`, the recommended
-dataset-scale config). The train phase times the full OpenTAL-final
+INTERLEAVED d,p x3 (bench_e2e_dataset — tunnel bandwidth drifts +-30%,
+so the packed headline is reported as median + per-pair margins whose
+sign must be stable; packed = `testing.packed` + `testing.device_ingest`,
+the DEFAULT dataset-scale config since round 5). An ANet phase pins the
+reference's second headline workload (768-frame videos, video-axis
+batch 16). The train phase times the full OpenTAL-final
 jitted train step (EDL-MIB + PU actionness + SSL triplet) at its
 measured-best config (bs=8, bf16 convs, f32 params — round-3 sweep) and
 reports train MFU from the compiled step's XLA cost analysis.
@@ -161,21 +163,23 @@ def bench_e2e(model, variables, device_post, device_ingest=False):
     return 64 / dt, len(props)
 
 
-def bench_e2e_dataset(model, variables, n_videos=32):
-    """Dataset-scale e2e A/B on ONE workload, measured back to back so
-    tunnel bandwidth drift between phases (+-30% observed) cannot fake
-    a mode difference: 32 short videos (8 windows each), (a) the
-    per-video device pipeline (device_ingest + device post, sequential
-    like the reference's test loop), then (b) the packed frame-staged
-    mode (run_videos_ingest: frames pack into contiguous device
-    buffers, each frame ships once, staging chunked + overlapped on the
-    prefetch thread, full 128-window forwards across video boundaries
-    — `testing.packed` + `testing.device_ingest`, the recommended
-    dataset-scale config, MIGRATION.md). frames_capacity = exactly 16
-    videos -> one FULL 128-window forward per flush, two flushes (the
-    round-3 bench staged one half-empty 905 MB window batch and
-    measured the tunnel, not the pipeline — VERDICT r3 weak #1).
-    Returns (per_video_clips_per_sec, packed_clips_per_sec)."""
+def bench_e2e_dataset(model, variables, n_videos=32, repeats=3):
+    """Dataset-scale e2e A/B on ONE workload, INTERLEAVED d,p,d,p,d,p so
+    tunnel bandwidth drift (+-30% observed between phases, and a single
+    back-to-back pair proved noise-level in BENCH_r04 — VERDICT r4 weak
+    #2) cannot fake a mode difference: 32 short videos (8 windows
+    each), (a) the per-video device pipeline (device_ingest + device
+    post, sequential like the reference's test loop), vs (b) the packed
+    frame-staged mode (run_videos_ingest: frames pack into contiguous
+    device buffers, each frame ships once, staging chunked + overlapped
+    on the prefetch thread, full 128-window forwards across video
+    boundaries — `testing.packed` + `testing.device_ingest`, the
+    DEFAULT dataset-scale config since round 5). frames_capacity =
+    exactly 16 videos -> one FULL 128-window forward per flush, two
+    flushes. Returns (device_cps_median, packed_cps_median, margins)
+    where margins[i] = packed_i/device_i - 1 per interleaved pair — the
+    headline claim must survive as a stable-sign margin, not one lucky
+    pair."""
     from opental_tpu.infer.pipeline import InferencePipeline
     kwargs = dict(clip_length=CLIP, stride=128, crop_size=CROP,
                   conf_thresh=0.01, top_k=5000, nms_sigma=0.5,
@@ -195,17 +199,51 @@ def bench_e2e_dataset(model, variables, n_videos=32):
                         max_batch=BATCH_WINDOWS)
     packed.run_videos(iter(vids[:2]), **pk)
 
-    t0 = time.perf_counter()
-    for name, data, sc, fps in vids:
-        per_video.run_video(data, sample_count=sc, sample_fps=fps,
-                            max_batch=BATCH_WINDOWS)
-    per_video_cps = windows_total / (time.perf_counter() - t0)
+    device_cps, packed_cps, margins = [], [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for name, data, sc, fps in vids:
+            per_video.run_video(data, sample_count=sc, sample_fps=fps,
+                                max_batch=BATCH_WINDOWS)
+        d = windows_total / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    res = packed.run_videos(iter(vids), **pk)
-    packed_cps = windows_total / (time.perf_counter() - t0)
-    assert len(res) == n_videos
-    return per_video_cps, packed_cps
+        t0 = time.perf_counter()
+        res = packed.run_videos(iter(vids), **pk)
+        p = windows_total / (time.perf_counter() - t0)
+        assert len(res) == n_videos
+        device_cps.append(d)
+        packed_cps.append(p)
+        margins.append(p / d - 1.0)
+    return (float(np.median(device_cps)), float(np.median(packed_cps)),
+            margins)
+
+
+def bench_anet(video_batch=16):
+    """ANet-variant inference throughput: 768-frame 96x96 videos (one
+    window per video, AFSD/anet/test.py:76) batched on the video axis,
+    bf16 forward + full-tensor witness — the reference's second
+    headline workload, pinned per round (round-3 sweep in
+    scripts/bench_anet.py: batch 8/16/24 -> 82.5/90.6/88.6 videos/s,
+    32 OOMs; 16 is the chip's sweet spot)."""
+    model = BDNet(num_classes=151, os_head=True, use_edl=True,
+                  frame_num=768, arch='anet', dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 768, CROP, CROP, 3)))
+    x = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(1), (video_batch, 768, CROP, CROP, 3),
+        jnp.float32))()
+
+    @jax.jit
+    def fwd(variables, clips):
+        out = model.apply(variables, clips)
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in out.values() if v is not None)
+
+    def step(carry):
+        return fwd(variables, x + carry * 0)
+
+    per_iter = min(chain_time(step, 10, warmup=2), chain_time(step, 10))
+    return video_batch / per_iter
 
 
 def bench_train(batch_size=8):
@@ -297,7 +335,9 @@ def main():
     e2e_host, _ = bench_e2e(model, variables, device_post=False)
     e2e_longvideo, _ = bench_e2e(model, variables, device_post=True,
                                  device_ingest=True)
-    e2e_device, e2e_packed = bench_e2e_dataset(model, variables)
+    e2e_device, e2e_packed, e2e_margins = bench_e2e_dataset(model,
+                                                            variables)
+    anet_videos_per_sec = bench_anet()
     train_clips_per_sec, train_mfu = bench_train()
 
     print(json.dumps({
@@ -309,11 +349,20 @@ def main():
         'shared_backbone_clips_per_sec': round(shared_clips_per_sec, 2),
         'e2e_clips_per_sec_host_nms': round(e2e_host, 2),
         # device_pipeline and packed measure the SAME 32-video workload
-        # back to back (bench_e2e_dataset); device_longvideo is the
-        # round<=3-comparable single-8320-frame-video figure
+        # INTERLEAVED d,p x3 (bench_e2e_dataset): values are medians,
+        # margin entries are per-pair packed/device - 1 (the packed
+        # headline must hold as a stable-sign margin, VERDICT r4 weak
+        # #2); device_longvideo is the round<=3-comparable
+        # single-8320-frame-video figure
         'e2e_clips_per_sec_device_pipeline': round(e2e_device, 2),
         'e2e_clips_per_sec_packed': round(e2e_packed, 2),
+        'e2e_packed_margin': [round(m, 4) for m in e2e_margins],
+        'e2e_packed_margin_median': round(
+            float(np.median(e2e_margins)), 4),
+        'e2e_packed_margin_worst': round(float(min(e2e_margins)), 4),
         'e2e_clips_per_sec_device_longvideo': round(e2e_longvideo, 2),
+        # the reference's second headline workload (AFSD/anet/test.py)
+        'anet_videos_per_sec': round(anet_videos_per_sec, 2),
         'train_clips_per_sec': round(train_clips_per_sec, 3),
         'train_config': 'bs8_bf16',
         'train_mfu': round(train_mfu, 4),
