@@ -37,7 +37,9 @@ def cache_raw_outputs(cfg: Config, cache_dir: str,
     import jax.numpy as jnp
 
     from opental_tpu.data import transforms
-    from opental_tpu.infer.pipeline import stack_windows, window_offsets
+    from opental_tpu.infer.pipeline import (ingest_windows,
+                                            stack_windows_u8,
+                                            window_offsets)
     from opental_tpu.tools.test import build_pipeline
 
     os.makedirs(cache_dir, exist_ok=True)
@@ -45,7 +47,11 @@ def cache_raw_outputs(cfg: Config, cache_dir: str,
     npy = cfg.get_path('dataset.testing.video_data_path')
     names = list(video_infos)[:max_videos]
     import jax
-    raw_forward = jax.jit(pipe.model.apply)
+    # uint8 window staging + in-jit normalize, like every other driver
+    # since round 5 (4x less host->device transfer on the one full
+    # network pass this tool makes)
+    raw_forward = jax.jit(
+        lambda v, c, val: pipe.model.apply(v, ingest_windows(c, val)))
     for name in names:
         out_file = os.path.join(cache_dir, name + '.npz')
         if os.path.exists(out_file):
@@ -55,8 +61,10 @@ def cache_raw_outputs(cfg: Config, cache_dir: str,
         cropped = transforms.center_crop(data, pipe.crop_size)
         offsets = window_offsets(info['sample_count'], pipe.clip_length,
                                  pipe.stride)
-        clips = stack_windows(cropped, offsets, pipe.clip_length)
-        out = raw_forward(pipe.variables, jnp.asarray(clips))
+        clips, valid = stack_windows_u8(cropped, offsets,
+                                        pipe.clip_length)
+        out = raw_forward(pipe.variables, jnp.asarray(clips),
+                          jnp.asarray(valid))
         n = len(offsets)
         arrays = {'offsets': np.asarray(offsets, np.float32),
                   'sample_fps': np.float32(info['sample_fps'])}
