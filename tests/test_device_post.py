@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from opental_tpu.infer.decode import DecodedWindows
+from opental_tpu.utils.propmatch import pair_proposals
 from opental_tpu.infer.pipeline import InferencePipeline
 
 W, P, K = 5, 126, 8
@@ -54,11 +55,9 @@ def test_device_post_matches_host(seed):
                          jnp.asarray(unct), jnp.asarray(act))
     dev_props = dev._post_process_on_device(dec, offsets, fps, n=W)
 
-    key = lambda p: (p['cls'], -p['score'])
-    host_props, dev_props = sorted(host_props, key=key), \
-        sorted(dev_props, key=key)
     assert len(dev_props) == len(host_props)
-    for a, b in zip(dev_props, host_props):
+    # tie-robust pairing (utils/propmatch.py)
+    for a, b in pair_proposals(dev_props, host_props):
         assert a['cls'] == b['cls']
         np.testing.assert_allclose(a['score'], b['score'], rtol=1e-5,
                                    atol=1e-7)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from opental_tpu.infer.pipeline import InferencePipeline
+from opental_tpu.utils.propmatch import pair_proposals
 from opental_tpu.models.bdnet import BDNet
 from opental_tpu.parallel import mesh as meshlib
 
@@ -62,10 +63,8 @@ def test_packed_mesh_matches_single_device():
     packed = sharded.run_videos(iter(videos), max_batch=16)
     for name, data, sc, fps in videos:
         ref = single.run_video(data, sample_count=sc, sample_fps=fps)
-        got = sorted(packed[name], key=lambda p: (p['cls'], -p['score']))
-        want = sorted(ref, key=lambda p: (p['cls'], -p['score']))
-        assert len(got) == len(want)
-        for a, b in zip(want, got):
+        assert len(packed[name]) == len(ref)
+        for a, b in pair_proposals(ref, packed[name]):
             assert a['cls'] == b['cls']
             np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
             np.testing.assert_allclose(a['segment'], b['segment'],
@@ -113,10 +112,8 @@ def test_packed_ingest_fusion_mesh_matches_single_device():
     for name, data, sc, fps, flow in videos:
         ref = single.run_video(data, sample_count=sc, sample_fps=fps,
                                flow_data=flow)
-        got = sorted(packed[name], key=lambda p: (p['cls'], -p['score']))
-        want = sorted(ref, key=lambda p: (p['cls'], -p['score']))
-        assert len(got) == len(want)
-        for a, b in zip(want, got):
+        assert len(packed[name]) == len(ref)
+        for a, b in pair_proposals(ref, packed[name]):
             assert a['cls'] == b['cls']
             np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
             np.testing.assert_allclose(a['segment'], b['segment'],
@@ -166,10 +163,8 @@ def test_packed_ingest_mesh_matches_single_device():
                                 frames_capacity=512)
     for name, data, sc, fps in videos:
         ref = single.run_video(data, sample_count=sc, sample_fps=fps)
-        got = sorted(packed[name], key=lambda p: (p['cls'], -p['score']))
-        want = sorted(ref, key=lambda p: (p['cls'], -p['score']))
-        assert len(got) == len(want)
-        for a, b in zip(want, got):
+        assert len(packed[name]) == len(ref)
+        for a, b in pair_proposals(ref, packed[name]):
             assert a['cls'] == b['cls']
             np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
             np.testing.assert_allclose(a['segment'], b['segment'],

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from opental_tpu.infer.pipeline import InferencePipeline
+from opental_tpu.utils.propmatch import pair_proposals
 from opental_tpu.models.bdnet import BDNet
 
 CLIP, STRIDE, CROP = 128, 32, 32
@@ -37,9 +38,10 @@ def _videos(seed=0, channels=3):
 
 
 def _assert_same(props_a, props_b):
+    # tie-robust pairing: near-tied scores re-pair by segment so
+    # last-ulp cross-path noise cannot zip distinct proposals crosswise
     assert len(props_a) == len(props_b)
-    key = lambda p: (p['cls'], -p['score'])  # noqa: E731
-    for a, b in zip(sorted(props_a, key=key), sorted(props_b, key=key)):
+    for a, b in pair_proposals(props_a, props_b):
         assert a['cls'] == b['cls']
         np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
         np.testing.assert_allclose(a['segment'], b['segment'],
@@ -401,11 +403,8 @@ def test_packed_device_post_matches_host():
     dev = InferencePipeline(model, variables, device_post=True,
                             n_candidates=512, **kwargs).run_videos(
         iter(videos), max_batch=16)
-    key = lambda p: (p['cls'], -p['score'])  # noqa: E731
     for name in host:
-        a = sorted(host[name], key=key)
-        b = sorted(dev[name], key=key)
-        assert len(a) == len(b)
-        for x, y in zip(a, b):
+        assert len(host[name]) == len(dev[name])
+        for x, y in pair_proposals(host[name], dev[name]):
             assert x['cls'] == y['cls']
             np.testing.assert_allclose(x['score'], y['score'], rtol=1e-4)

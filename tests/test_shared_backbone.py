@@ -20,6 +20,7 @@ import numpy as np
 import pytest
 
 from opental_tpu.infer.pipeline import InferencePipeline
+from opental_tpu.utils.propmatch import pair_proposals
 from opental_tpu.models.bdnet import BDNet
 
 CLIP, STRIDE, CROP = 128, 32, 32
@@ -98,10 +99,10 @@ def test_shared_pipeline_runs_and_posts_match():
                                    **kwargs)
     props_d = shared_dev.run_video(video, sample_count=443,
                                    sample_fps=10.0)
-    key = lambda p: (p['cls'], -p['score'])  # noqa: E731
-    props_h, props_d = sorted(props_h, key=key), sorted(props_d, key=key)
     assert len(props_h) == len(props_d)
-    for a, b in zip(props_h, props_d):
+    # tie-robust pairing (utils/propmatch.py): near-tied scores re-pair
+    # by segment so last-ulp cross-path noise cannot zip crosswise
+    for a, b in pair_proposals(props_h, props_d):
         assert a['cls'] == b['cls']
         np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
         np.testing.assert_allclose(a['segment'], b['segment'],
