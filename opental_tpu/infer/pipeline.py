@@ -94,6 +94,19 @@ def stack_windows(data: np.ndarray, offsets: Sequence[int],
     return out
 
 
+def _require_u8(data: np.ndarray, what: str = 'frames') -> None:
+    """uint8-staging intake guard: numpy assignment of float frames into
+    a np.uint8 buffer TRUNCATES silently (127.5 -> 127, which normalizes
+    to -0.0039 instead of the reference pad's exact 0.0). Callers with
+    float videos must ship raw uint8 + a padded sample_count instead
+    (see tools/test_cross_data.py _anet_item_raw)."""
+    if data.dtype != np.uint8:
+        raise TypeError(
+            f'uint8 staging requires raw uint8 {what}, got {data.dtype}; '
+            'float frames would be silently truncated — ship the raw '
+            'uint8 npy (pad via sample_count, not host pad values)')
+
+
 def stack_windows_u8(data: np.ndarray, offsets: Sequence[int],
                      clip_length: int, bucket: int = 8
                      ) -> Tuple[np.ndarray, np.ndarray]:
@@ -103,6 +116,7 @@ def stack_windows_u8(data: np.ndarray, offsets: Sequence[int],
     the jitted forward normalizes and zero-fills frames >= valid
     (ingest_windows), reproducing stack_windows' normalized zero tail pad
     (test.py:67-76) to <=1 ulp (XLA's jitted /255 lowering)."""
+    _require_u8(data)
     t, h, w, c = data.shape
     n = len(offsets)
     n_pad = _bucket(n, bucket)
@@ -765,9 +779,11 @@ class InferencePipeline:
 
             for item in videos:
                 name, data, sample_count, sample_fps = item[:4]
+                _require_u8(data, f'frames ({name})')
                 data = transforms.center_crop(data, self.crop_size)
                 flow_data = None
                 if fusion:
+                    _require_u8(item[4], f'flow frames ({name})')
                     flow_data = transforms.center_crop(item[4],
                                                        self.crop_size)
                 offsets = window_offsets(sample_count, clip, stride)
@@ -951,7 +967,10 @@ class InferencePipeline:
 
         for item in videos:
             name, data, sample_count, sample_fps = item[:4]
+            _require_u8(data, f'frames ({name})')
             flow_data = item[4] if fusion else None
+            if fusion:
+                _require_u8(flow_data, f'flow frames ({name})')
             data = transforms.center_crop(data, self.crop_size)
             offsets = window_offsets(sample_count, clip, stride)
             # snap the irregular tail offset up to a multiple of 8 so

@@ -29,17 +29,6 @@ from opental_tpu.infer.pipeline import proposals_to_json
 from opental_tpu.tools.test import build_pipeline, packed_frames
 
 
-def pad_anet_video(data: np.ndarray, clip_length: int = 768) -> np.ndarray:
-    """ANet npy videos are capped at 768 frames; pad short ones with
-    127.5 (test_cross_data.py:80-89)."""
-    t = data.shape[0]
-    if t < clip_length:
-        pad = np.full((clip_length - t,) + data.shape[1:], 127.5,
-                      data.dtype if data.dtype != np.uint8 else np.float32)
-        data = np.concatenate([data.astype(pad.dtype), pad], 0)
-    return data
-
-
 def exclude_overlapping(results: Dict[str, list],
                         anet_video_infos: Dict[str, dict],
                         overlapping_class_file: str) -> Dict[str, list]:
@@ -111,7 +100,7 @@ def run_cross_data(cfg: Config, anet_video_info: str, anet_npy_dir: str,
 
         def _anet_item_raw(n):
             # the reference pads short ANet videos to 768 frames with
-            # f32 127.5 (pad_anet_video, test_cross_data.py:80-89).
+            # f32 127.5 (test_cross_data.py:80-89).
             # 127.5 normalizes to exactly 0.0 — the same value every one
             # of our window paths fills beyond the real frames
             # (stack_windows pad / frames_valid zero-mask) — so shipping

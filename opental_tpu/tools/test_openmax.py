@@ -233,8 +233,7 @@ def run_openmax_cross_data(cfg: Config, mav_dist_dir: str,
     """OpenMax over ANet unknowns merged with the THUMOS results
     (reference test_openmax_cross_data.py)."""
     from opental_tpu.data.anet import get_video_info as anet_info
-    from opental_tpu.tools.test_cross_data import (exclude_overlapping,
-                                                   pad_anet_video)
+    from opental_tpu.tools.test_cross_data import exclude_overlapping
     te = cfg.testing
     thumos_path = run_openmax_test(cfg, mav_dist_dir, tailsize, max_videos)
     with open(thumos_path) as f:
@@ -246,10 +245,18 @@ def run_openmax_cross_data(cfg: Config, mav_dist_dir: str,
     names = [n for n in infos
              if os.path.exists(os.path.join(anet_npy_dir, n + '.npy'))]
     for name in names[:max_videos]:
-        data = pad_anet_video(np.load(
-            os.path.join(anet_npy_dir, name + '.npy')))
+        # the reference pads short ANet videos to 768 frames with f32
+        # 127.5 (test_cross_data.py:80-89); 127.5 normalizes to exactly
+        # 0.0 — the same value both staging paths fill beyond the real
+        # frames (stack_windows pad / u8 frames-valid zero-mask) — so
+        # shipping the RAW uint8 frames with the padded sample_count is
+        # bit-equivalent. Host 127.5-padding here would TRUNCATE to
+        # uint8 127 in the u8_staging path (-0.0039 after normalize,
+        # inside frames-valid): same fix as test_cross_data's
+        # _anet_item_raw.
+        data = np.load(os.path.join(anet_npy_dir, name + '.npy'))
         key = name[2:] if name.startswith('v_') else name
-        results[key] = om.run_video(data, data.shape[0],
+        results[key] = om.run_video(data, max(data.shape[0], 768),
                                     infos[name]['fps'])
     filtered = exclude_overlapping(results, infos, overlapping_class_file)
     merged = dict(thumos_out['results'])

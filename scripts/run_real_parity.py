@@ -110,7 +110,7 @@ def run_ours(args, out_dir):
     return run_test(cfg)
 
 
-def run_reference(args, out_dir):
+def run_reference(args):
     """Drive the reference's own test.py (test_opental_final.sh:20-24 /
     AFSD/anet/test.py). Needs a torch environment; ~10 s/clip on CPU.
 
@@ -124,7 +124,18 @@ def run_reference(args, out_dir):
     os.makedirs(workdir, exist_ok=True)
     datasets_link = os.path.join(workdir, 'datasets')
     datasets_root = os.path.dirname(os.path.abspath(args.data_root))
-    if not os.path.lexists(datasets_link):
+    if os.path.lexists(datasets_link):
+        # re-point a stale link when --data_root moved between runs
+        # sharing a --workdir (e.g. THUMOS then ANet parity)
+        if (not os.path.islink(datasets_link)
+                or os.readlink(datasets_link) != datasets_root):
+            if not os.path.islink(datasets_link):
+                raise FileExistsError(
+                    f'{datasets_link} exists and is not a symlink; '
+                    'refusing to replace it')
+            os.unlink(datasets_link)
+            os.symlink(datasets_root, datasets_link)
+    else:
         os.symlink(datasets_root, datasets_link)
     script = ('AFSD/anet/test.py' if args.dataset == 'anet'
               else 'AFSD/thumos14/test.py')
@@ -220,7 +231,7 @@ def main(argv=None):
     if args.ref_json:
         ref_json = args.ref_json
     elif args.run_reference:
-        ref_json = run_reference(args, args.workdir)
+        ref_json = run_reference(args)
     else:
         print('No --ref_json / --run_reference: evaluating ours only.')
         ours = evaluate(ours_json, args.data_root, args.split,

@@ -236,8 +236,44 @@ def test_openmax_cli_end_to_end(tmp_path):
     props_f32 = om_f32.run_video(data, infos[name]['sample_count'],
                                  infos[name]['sample_fps'])
     assert len(props_u8) == len(props_f32) > 0
-    for a, b in zip(props_u8, props_f32):
-        assert a['label'] == b['label']
+    # tie-robust pairing: the <=1 ulp between the two staging paths can
+    # flip soft-NMS pick order between exactly-tied same-class proposals
+    # (opental_tpu/utils/propmatch.py) — a positional zip pairs those
+    # crosswise and explodes at stride scale
+    from opental_tpu.utils.propmatch import pair_proposals
+    askey = lambda p: {'cls': p['label'], 'score': p['score'],  # noqa: E731
+                       'segment': p['segment'], 'prop': p}
+    for a, b in pair_proposals([askey(p) for p in props_u8],
+                               [askey(p) for p in props_f32]):
+        assert a['cls'] == b['cls']
         np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
         np.testing.assert_allclose(a['segment'], b['segment'],
                                    rtol=1e-4, atol=1e-4)
+
+    # cross-data pad semantics (run_openmax_cross_data): a short ANet
+    # video ships RAW uint8 with the PADDED sample_count — must equal
+    # the reference's host 127.5-f32-pad (test_cross_data.py:80-89),
+    # which normalizes to exactly 0.0 = the u8 frames-valid zero-fill.
+    # Host-padding 127.5 into the u8 path instead would truncate to 127
+    # (-0.0039 inside frames-valid) — stack_windows_u8 now raises on
+    # float frames so that mistake is loud.
+    short = data[:100]
+    padded_count = 256  # driver uses 768; any padded length > t works
+    padded_f32 = np.concatenate(
+        [short.astype(np.float32),
+         np.full((padded_count - short.shape[0],) + short.shape[1:],
+                 127.5, np.float32)], 0)
+    props_raw = om_u8.run_video(short, padded_count,
+                                infos[name]['sample_fps'])
+    props_ref = om_f32.run_video(padded_f32, padded_count,
+                                 infos[name]['sample_fps'])
+    assert len(props_raw) == len(props_ref) > 0
+    for a, b in pair_proposals([askey(p) for p in props_raw],
+                               [askey(p) for p in props_ref]):
+        assert a['cls'] == b['cls']
+        np.testing.assert_allclose(a['score'], b['score'], rtol=1e-4)
+        np.testing.assert_allclose(a['segment'], b['segment'],
+                                   rtol=1e-4, atol=1e-4)
+    with pytest.raises(TypeError):
+        om_u8.run_video(padded_f32, padded_count,
+                        infos[name]['sample_fps'])

@@ -155,3 +155,19 @@ def test_train_step_uint8_equals_f32():
         np.testing.assert_allclose(np.asarray(m32[k]),
                                    np.asarray(mu8[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_u8_staging_rejects_float_frames():
+    """uint8-staging intakes raise on float frames instead of silently
+    truncating them into the np.uint8 buffers (127.5 -> 127, which
+    normalizes to -0.0039 instead of the reference pad's exact 0.0).
+    Float-padded videos must ship raw uint8 with a padded sample_count
+    (tools/test_cross_data.py _anet_item_raw)."""
+    from opental_tpu.infer.pipeline import stack_windows_u8
+
+    f32 = np.full((16, 8, 8, 3), 127.5, np.float32)
+    with pytest.raises(TypeError):
+        stack_windows_u8(f32, [0], 16)
+    u8 = np.zeros((16, 8, 8, 3), np.uint8)
+    out, valid = stack_windows_u8(u8, [0], 16)
+    assert out.dtype == np.uint8 and valid[0] == 16
