@@ -157,6 +157,8 @@ class StreamingSession:
         larger than the pipeline crop are center-cropped). Returns the
         number of windows whose forward ran during this call."""
         assert self._final is None, 'session already finalized'
+        from opental_tpu.infer.pipeline import _require_u8
+        _require_u8(frames, 'stream frames')
         before = self._windows_run
         self._append(transforms.center_crop(frames, self.pipe.crop_size))
         while self._next_off + self.clip <= self._t:

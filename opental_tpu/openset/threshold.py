@@ -44,6 +44,11 @@ def threshold_from_results(result_dict: Dict[str, List[dict]],
     """Score at the (1 - tpr) quantile (threshold.py:145-148)."""
     scores = [confidence_score(p, scoring)
               for props in result_dict.values() for p in props]
+    if not scores:
+        raise ValueError(
+            'threshold calibration produced zero proposals across '
+            f'{len(result_dict)} videos — check the checkpoint, '
+            'conf_thresh, and that the training npys exist')
     score_sorted = np.sort(scores)
     n = len(scores)
     top_k = n - int(n * tpr)
@@ -74,9 +79,17 @@ def calibrate_anet(cfg: Config, max_videos: Optional[int] = None,
     for key in ('video_info_path', 'video_mp4_path', 'video_data_path'):
         if key in tr:
             train_cfg['dataset']['testing'][key] = tr[key]
+    # the reference calibrates over the INTERSECTION of the annotation
+    # videos and the train classifier file's videos
+    # (anet/threshold.py:35-38: result_tsn_train.json ∩ video_infos)
+    video_names = None
+    if cls_score_file:
+        with open(cls_score_file) as f:
+            cls_vids = json.load(f)['results']
+        video_names = {'v_' + n for n in cls_vids} | set(cls_vids)
     out_path = run_test_anet(train_cfg, max_videos=max_videos,
                              binary=binary, cls_score_file=cls_score_file,
-                             subset='training')
+                             subset='training', video_names=video_names)
     with open(out_path) as f:
         payload = json.load(f)
     threshold = threshold_from_results(payload['results'], scoring)
@@ -102,7 +115,16 @@ def calibrate(cfg: Config, pipeline, max_videos: Optional[int] = None
         cfg.get_path('dataset.training.video_info_path'))
     _, idx_to_class = get_class_index_map(
         cfg.get_path('dataset.class_info_path'))
-    npy_path = cfg.get_path('dataset.training.video_data_path')
+    # fusion calibration reads BOTH streams from the training-section
+    # paths, like the reference (threshold.py:40-44: rgb_data_path /
+    # flow_data_path, npy_data_path switches on cfg.fusion :75)
+    fusion = getattr(pipeline, 'flow_model', None) is not None
+    npy_path = (cfg.get_path('training.rgb_data_path',
+                             './datasets/thumos14/validation_npy/')
+                if fusion
+                else cfg.get_path('dataset.training.video_data_path'))
+    flow_path = cfg.get_path('training.flow_data_path',
+                             './datasets/thumos14/validation_flow_npy/')
 
     names = list(video_infos)[:max_videos]
     from opental_tpu.data.prefetch import prefetch
@@ -117,22 +139,28 @@ def calibrate(cfg: Config, pipeline, max_videos: Optional[int] = None
         def stream():
             for name in names:
                 info = video_infos[name]
-                yield (name, np.load(os.path.join(npy_path,
-                                                  name + '.npy')),
-                       info['sample_count'], info['sample_fps'])
+                item = (name, np.load(os.path.join(npy_path,
+                                                   name + '.npy')),
+                        info['sample_count'], info['sample_fps'])
+                if fusion:
+                    item += (np.load(os.path.join(flow_path,
+                                                  name + '.npy')),)
+                yield item
 
         result_dict = pipeline.run_videos(
             prefetch(stream()), max_batch=te.get('packed_batch', 128),
             frames_capacity=packed_frames(te))
     else:
-        load = lambda n: (n, np.load(  # noqa: E731
-            os.path.join(npy_path, n + '.npy')))
+        def load(n):
+            flow = (np.load(os.path.join(flow_path, n + '.npy'))
+                    if fusion else None)
+            return n, np.load(os.path.join(npy_path, n + '.npy')), flow
         result_dict = {}
-        for name, data in prefetch(names, load):
+        for name, data, flow in prefetch(names, load):
             info = video_infos[name]
             result_dict[name] = pipeline.run_video(
                 data, sample_count=info['sample_count'],
-                sample_fps=info['sample_fps'])
+                sample_fps=info['sample_fps'], flow_data=flow)
 
     threshold = threshold_from_results(result_dict, scoring)
     proposals_to_json(result_dict, idx_to_class,

@@ -46,6 +46,10 @@ def build_device_post(cls_cols, use_edl: bool, os_head: bool,
     results equal the host path exactly (soft_nms_device ==
     soft_nms_numpy, tests/test_soft_nms.py)."""
     conf_floor = 1e-9 if binary else 0.001   # test_binary.py:125
+    # binary mode also lowers the soft-NMS score floor to 1e-9
+    # (test_binary.py:155 vs test.py:166's 0.001): low-score proposals
+    # survive NMS and only die at the kept-row score>0 filter
+    nms_floor = 1e-9 if binary else 1e-3
 
     def post(segments, scores, unct, act, fps):
         # segments (B,P,2) frames; scores (B,P,K); fps (B,)
@@ -67,6 +71,7 @@ def build_device_post(cls_cols, use_edl: bool, os_head: bool,
                 block = jnp.concatenate(cols, -1)
                 kept, _ = soft_nms_device(block, sigma=sigma,
                                           top_k=top_k,
+                                          score_threshold=nms_floor,
                                           valid=top_sc > 0)
                 return kept
 
@@ -108,7 +113,11 @@ def prepare_window_u8(npy_path: str, clip_length: int, crop_size: int
     87-89) normalizes to exactly 0.0, so zero-filling frames >= valid
     inside the jitted ingest (infer.pipeline.ingest_windows) reproduces
     it bit-for-bit up to the jitted /255 lowering (<=1 ulp)."""
+    from opental_tpu.infer.pipeline import _require_u8
     data = np.load(npy_path)
+    # staging_u8 is decided from the FIRST npy of the run; a stray
+    # float npy later would silently truncate into the uint8 buffer
+    _require_u8(data, f'frames ({os.path.basename(npy_path)})')
     data = transforms.center_crop(data, crop_size)
     t = data.shape[0]
     valid = min(t, clip_length)
@@ -117,10 +126,24 @@ def prepare_window_u8(npy_path: str, clip_length: int, crop_size: int
     return out, np.int32(valid)
 
 
+def pad_video_batch(arr: Optional[np.ndarray], video_batch: int
+                    ) -> Optional[np.ndarray]:
+    """Pad a ragged tail chunk to video_batch by repeating the last
+    row: without it the final chunk's smaller batch dim retraces
+    forward_decode AND the device post (~minutes per extra jit through
+    the remote compile helper); padded rows are never read back (the
+    result loop enumerates the real chunk only)."""
+    if arr is None or arr.shape[0] == video_batch:
+        return arr
+    reps = np.repeat(arr[-1:], video_batch - arr.shape[0], 0)
+    return np.concatenate([arr, reps], 0)
+
+
 def run_test_anet(cfg, max_videos: Optional[int] = None,
                   video_batch: int = 4, binary: bool = False,
                   cls_score_file: Optional[str] = None,
-                  subset: str = 'validation') -> str:
+                  subset: str = 'validation',
+                  video_names=None) -> str:
     te = cfg.testing
     clip_length = cfg.get_path('dataset.testing.clip_length', 768)
     crop_size = cfg.get_path('dataset.testing.crop_size', 96)
@@ -181,6 +204,11 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
     flow_dir = te.get('flow_data_path', npy_dir)
     names = [n for n in video_infos
              if os.path.exists(os.path.join(npy_dir, n + '.npy'))]
+    if video_names is not None:
+        # caller-restricted video set (threshold calibration intersects
+        # with the classifier-file videos, anet/threshold.py:35-38)
+        allowed = set(video_names)
+        names = [n for n in names if n in allowed]
     names = names[:max_videos]
 
     # uint8 staging when the stored npys are raw bytes (ours and the
@@ -214,16 +242,21 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
             os.path.join(d, n + '.npy'), clip_length, crop_size)
             for n in chunk]), None
 
+    def _pad_batch(arr):
+        return pad_video_batch(arr, video_batch)
+
     def assemble(i):
         # runs on the prefetch thread: load + crop (+ normalize on the
         # f32 fallback) batch i+1 while the device scores batch i
         # (np.load drops the GIL)
         chunk = names[i:i + video_batch]
         clips, valid = _stage(npy_dir, chunk)
+        clips, valid = _pad_batch(clips), _pad_batch(valid)
         fclips = fvalid = None
         if fusion:
             fclips, fvalid = _stage(flow_dir, chunk)
-            fclips = jnp.asarray(fclips)
+            fclips = jnp.asarray(_pad_batch(fclips))
+            fvalid = _pad_batch(fvalid)
         return i, chunk, clips, valid, fclips, fvalid
 
     from opental_tpu.data.prefetch import prefetch
@@ -251,8 +284,11 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
             dec = forward_decode(variables, jnp.asarray(clips),
                                  flow_vars, fclips)
         if post_fn is not None:
-            fps_arr = jnp.asarray([video_infos[n]['fps'] for n in chunk],
-                                  jnp.float32)
+            fps_list = [video_infos[n]['fps'] for n in chunk]
+            # pad to video_batch with the last fps (matches _pad_batch;
+            # 1.0 would divide the padded rows' segments by ~0-fps)
+            fps_list += [fps_list[-1]] * (video_batch - len(fps_list))
+            fps_arr = jnp.asarray(fps_list, jnp.float32)
             blocks = np.asarray(post_fn(dec.segments, dec.scores,
                                         dec.uncertainty, dec.actionness,
                                         fps_arr))   # (B, C, k_eff, D+1)
@@ -288,8 +324,10 @@ def run_test_anet(cfg, max_videos: Optional[int] = None,
                     if os_head:
                         cols.append(act[vi, mask][:, None])
                     block = np.concatenate(cols, 1)
-                    kept, _ = soft_nms_numpy(block, sigma=sigma,
-                                             top_k=top_k)
+                    kept, _ = soft_nms_numpy(
+                        block, sigma=sigma, top_k=top_k,
+                        # binary mode: 1e-9 floor (test_binary.py:155)
+                        score_threshold=1e-9 if binary else 1e-3)
                 cl_idx = cl + 1 if os_head else cl
                 for row in kept:
                     if row[2] <= 0:

@@ -40,7 +40,8 @@ def spied(monkeypatch):
         items = list(videos)
         calls.append({'names': [it[0] for it in items],
                       'max_batch': max_batch,
-                      'frames_capacity': frames_capacity})
+                      'frames_capacity': frames_capacity,
+                      'items': items})
         return {it[0]: [dict(FAKE_PROP)] for it in items}
 
     monkeypatch.setattr('opental_tpu.tools.test.load_variables',
@@ -142,3 +143,94 @@ def test_run_test_packed_false_opts_out(tmp_path, spied, monkeypatch):
     run_test(cfg)
     assert not spied
     assert len(per_video) == 2
+
+
+def test_threshold_calibrate_fusion_ships_flow(tmp_path, spied):
+    """Fusion calibration loads BOTH streams from the training-section
+    paths (reference threshold.py:40-44,75) and yields 5-tuples into
+    the packed path — previously the stream had no flow leg at all."""
+    from opental_tpu.openset.threshold import calibrate
+    from opental_tpu.tools.test import build_pipeline
+
+    cfg = _synth_cfg(tmp_path)
+    cfg.testing['output_json'] = 'thresholding.json'
+    cfg.testing['fusion'] = True
+    cfg.testing['flow_checkpoint_path'] = str(tmp_path / 'no_flow.ckpt')
+
+    rgb_dir = cfg.get_path('dataset.training.video_data_path')
+    flow_dir = tmp_path / 'train_flow'
+    flow_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for fn in os.listdir(rgb_dir):
+        t = np.load(os.path.join(rgb_dir, fn), mmap_mode='r').shape[0]
+        np.save(str(flow_dir / fn),
+                rng.randint(0, 255, (t, 36, 36, 2), np.uint8))
+    cfg['training']['rgb_data_path'] = rgb_dir
+    cfg['training']['flow_data_path'] = str(flow_dir)
+
+    pipe, _, _ = build_pipeline(cfg)
+    assert pipe.flow_model is not None
+    threshold = calibrate(cfg, pipe)
+    assert np.isfinite(threshold)
+    assert len(spied) == 1
+    for item in spied[0]['items']:
+        assert len(item) == 5, 'fusion items must carry the flow array'
+        assert item[4].shape[-1] == 2
+        assert item[4].dtype == np.uint8
+
+
+def test_calibrate_anet_intersects_cls_file_videos(tmp_path, monkeypatch):
+    """ANet calibration restricts the video set to the classifier-file
+    intersection (anet/threshold.py:35-38)."""
+    import opental_tpu.tools.test_anet as ta
+    from opental_tpu.openset.threshold import calibrate_anet
+
+    captured = {}
+
+    def fake_run_test_anet(cfg, max_videos=None, video_batch=4,
+                           binary=False, cls_score_file=None,
+                           subset='validation', video_names=None):
+        captured['video_names'] = video_names
+        captured['subset'] = subset
+        te = cfg.testing
+        out = os.path.join(te.get('output_path', './output'),
+                           te.get('output_json', 'thresholding.json'))
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, 'w') as f:
+            json.dump({'version': 'ActivityNet-v1.3',
+                       'results': {'abc': [{'label': 'A', 'score': 0.7,
+                                            'segment': [0.0, 1.0],
+                                            'uncertainty': 0.2,
+                                            'actionness': 0.6}]},
+                       'external_data': {}}, f)
+        return out
+
+    monkeypatch.setattr(ta, 'run_test_anet', fake_run_test_anet)
+    cls_file = str(tmp_path / 'result_tsn_train.json')
+    with open(cls_file, 'w') as f:
+        json.dump({'results': {'abc': [0.1], 'def': [0.2]},
+                   'class': ['A']}, f)
+
+    cfg = _synth_cfg(tmp_path)
+    cfg.testing['output_path'] = str(tmp_path / 'out')
+    cfg.testing['output_json'] = 'thresholding.json'
+    threshold = calibrate_anet(cfg, cls_score_file=cls_file)
+    assert np.isfinite(threshold)
+    assert captured['subset'] == 'training'
+    assert captured['video_names'] == {'abc', 'v_abc', 'def', 'v_def'}
+
+    # without a cls file the restriction is off (documented deviation:
+    # the reference hard-requires result_tsn_train.json)
+    captured.clear()
+    cfg2 = _synth_cfg(tmp_path)
+    cfg2.testing['output_path'] = str(tmp_path / 'out2')
+    cfg2.testing['output_json'] = 'thresholding.json'
+    calibrate_anet(cfg2)
+    assert captured['video_names'] is None
+
+
+def test_threshold_from_results_empty_raises():
+    from opental_tpu.openset.threshold import threshold_from_results
+
+    with pytest.raises(ValueError, match='zero proposals'):
+        threshold_from_results({'v': []}, 'confidence')

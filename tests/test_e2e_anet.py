@@ -85,6 +85,29 @@ def test_anet_train_test_threshold_eval(tmp_path):
             np.testing.assert_allclose(a['segment'], b['segment'],
                                        rtol=1e-4, atol=1e-4)
 
+    # ragged tail: video_batch=3 > the 2 validation videos exercises
+    # pad_video_batch (chunk padded by repeating the last video; padded
+    # rows never read back) — results must equal the exact-batch run
+    pad_cfg = cfg.clone()
+    pad_cfg['testing']['output_json'] = 'detections_pad.json'
+    pad_payload = json.load(open(run_test_anet(pad_cfg, video_batch=3)))
+    assert pad_payload['results'].keys() == payload['results'].keys()
+    from opental_tpu.utils.propmatch import pair_proposals
+    askey = lambda p: dict(p, cls=p['label'])  # noqa: E731
+    for vid in payload['results']:
+        a, b = payload['results'][vid], pad_payload['results'][vid]
+        assert len(a) == len(b), vid
+        # tie-robust pairing: batch-tiling float noise between the
+        # batch-2 and padded batch-3 forwards can flip sort order of
+        # near-tied scores (utils/propmatch.py)
+        for pa, pb in pair_proposals([askey(p) for p in a],
+                                     [askey(p) for p in b]):
+            assert pa['cls'] == pb['cls']
+            np.testing.assert_allclose(pa['score'], pb['score'],
+                                       rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(pa['segment'], pb['segment'],
+                                       rtol=1e-4, atol=1e-4)
+
     ev = DetectionEvaluator(
         os.path.join(root, 'annotations', 'gt_open.json'), out_path,
         os.path.join(root, 'annotations', 'action_known.txt'),

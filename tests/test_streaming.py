@@ -161,3 +161,19 @@ def test_streaming_matches_run_video(device_post):
                                min_total=-1)
         total += len(ref)
     assert total > 50
+
+
+def test_feed_rejects_float_frames(monkeypatch):
+    """Float frames must fail loudly at the stream intake: numpy
+    assignment into the uint8 ring buffer would silently truncate them
+    (the _require_u8 guard class, infer/pipeline.py)."""
+    model, variables = _model_and_vars()
+    pipe = InferencePipeline(model, variables, clip_length=CLIP,
+                             stride=STRIDE, crop_size=CROP, use_edl=True,
+                             os_head=True)
+    sess = StreamingSession(pipe, sample_fps=10.0, max_batch=4)
+    with pytest.raises(TypeError):
+        sess.feed(np.full((8, CROP, CROP, 3), 127.5, np.float32))
+    # uint8 frames still flow
+    sess.feed(np.zeros((8, CROP, CROP, 3), np.uint8))
+    assert sess.frames_received == 8
