@@ -30,28 +30,87 @@ RAW_KEYS = ('loc', 'conf', 'prop_loc', 'prop_conf', 'center', 'priors',
             'unct', 'prop_unct', 'act', 'prop_act')
 
 
+def _checkpoint_fingerprint(cfg: Config) -> str:
+    """Identity of the weights the cache was computed with: realpath
+    (resolving the checkpoint-latest symlink) + mtime."""
+    path = os.path.realpath(cfg.get_path('testing.checkpoint_path', ''))
+    mtime = os.path.getmtime(path) if os.path.exists(path) else 0.0
+    flow = cfg.get_path('testing.flow_checkpoint_path', '')
+    if flow:
+        flow = os.path.realpath(flow)
+        mtime = max(mtime, os.path.getmtime(flow)
+                    if os.path.exists(flow) else 0.0)
+    return f'{path}@{mtime}'
+
+
+def sync_cache_manifest(cache_dir: str, fingerprint: str) -> None:
+    """Drop cached npz entries computed with different weights: the
+    skip-if-exists cache would otherwise silently sweep OLD head
+    outputs after a retrain/checkpoint repoint (the reference keeps its
+    raw outputs in memory per run, so this disk cache is our hazard to
+    manage)."""
+    import json as _json
+    os.makedirs(cache_dir, exist_ok=True)
+    manifest_path = os.path.join(cache_dir, 'manifest.json')
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            stale = _json.load(f).get('checkpoint') != fingerprint
+        if stale:
+            for fn in os.listdir(cache_dir):
+                if fn.endswith('.npz'):
+                    os.remove(os.path.join(cache_dir, fn))
+    with open(manifest_path, 'w') as f:
+        _json.dump({'checkpoint': fingerprint}, f)
+
+
 def cache_raw_outputs(cfg: Config, cache_dir: str,
                       max_videos: Optional[int] = None) -> List[str]:
     """Run the network once per video, caching RAW head outputs so every
-    downstream stage can be swept (search_param.py:112-150)."""
+    downstream stage can be swept (search_param.py:112-150).
+
+    With `testing.fusion` the RGB and flow streams both run and the
+    cached outputs are their head-wise average (fuse_streams) — the
+    reference caches both streams and averages at decode time
+    (search_param.py:59-71 builds both nets; parse_output averages),
+    which is the same math since fusion IS head averaging upstream of
+    decode. RGB/flow test npys come from testing.rgb_data_path /
+    testing.flow_data_path (reference :49-52).
+
+    The cache is keyed to the checkpoint identity (realpath + mtime):
+    a retrained/re-pointed checkpoint invalidates stale npz entries
+    instead of silently sweeping old weights."""
     import jax.numpy as jnp
 
     from opental_tpu.data import transforms
     from opental_tpu.infer.pipeline import (ingest_windows,
                                             stack_windows_u8,
                                             window_offsets)
-    from opental_tpu.tools.test import build_pipeline
 
-    os.makedirs(cache_dir, exist_ok=True)
-    pipe, video_infos, _ = build_pipeline(cfg)
-    npy = cfg.get_path('dataset.testing.video_data_path')
+    sync_cache_manifest(cache_dir, _checkpoint_fingerprint(cfg))
+
+    pipe, video_infos, _ = _cached_pipeline(cfg)
+    fusion = pipe.flow_model is not None
+    npy = (cfg.get_path('testing.rgb_data_path',
+                        './datasets/thumos14/test_npy/') if fusion
+           else cfg.get_path('dataset.testing.video_data_path'))
+    flow_dir = cfg.get_path('testing.flow_data_path',
+                            './datasets/thumos14/test_flow_npy/')
     names = list(video_infos)[:max_videos]
     import jax
     # uint8 window staging + in-jit normalize, like every other driver
     # since round 5 (4x less host->device transfer on the one full
     # network pass this tool makes)
-    raw_forward = jax.jit(
-        lambda v, c, val: pipe.model.apply(v, ingest_windows(c, val)))
+    if fusion:
+        from opental_tpu.infer.decode import fuse_streams
+
+        @jax.jit
+        def raw_forward(v, c, val, fvar, fc, fval):
+            out = pipe.model.apply(v, ingest_windows(c, val))
+            fout = pipe.flow_model.apply(fvar, ingest_windows(fc, fval))
+            return fuse_streams(out, fout)
+    else:
+        raw_forward = jax.jit(
+            lambda v, c, val: pipe.model.apply(v, ingest_windows(c, val)))
     for name in names:
         out_file = os.path.join(cache_dir, name + '.npz')
         if os.path.exists(out_file):
@@ -63,17 +122,30 @@ def cache_raw_outputs(cfg: Config, cache_dir: str,
                                  pipe.stride)
         clips, valid = stack_windows_u8(cropped, offsets,
                                         pipe.clip_length)
-        out = raw_forward(pipe.variables, jnp.asarray(clips),
-                          jnp.asarray(valid))
+        if fusion:
+            fdata = np.load(os.path.join(flow_dir, name + '.npy'))
+            fclips, fvalid = stack_windows_u8(
+                transforms.center_crop(fdata, pipe.crop_size), offsets,
+                pipe.clip_length)
+            out = raw_forward(pipe.variables, jnp.asarray(clips),
+                              jnp.asarray(valid), pipe.flow_variables,
+                              jnp.asarray(fclips), jnp.asarray(fvalid))
+        else:
+            out = raw_forward(pipe.variables, jnp.asarray(clips),
+                              jnp.asarray(valid))
         n = len(offsets)
+        # cache the FULL bucket-padded rows + the real count: trimming
+        # to n would give the sweep's jitted decode a distinct shape
+        # per video (tens of 3-5 min remote recompiles); padded rows
+        # are sliced off after decode
         arrays = {'offsets': np.asarray(offsets, np.float32),
-                  'sample_fps': np.float32(info['sample_fps'])}
+                  'sample_fps': np.float32(info['sample_fps']),
+                  'n': np.int32(n)}
         for k in RAW_KEYS:
             v = out.get(k)
             if v is None:
                 continue
-            v = np.asarray(v, np.float32)
-            arrays[k] = v if k == 'priors' else v[:n]
+            arrays[k] = np.asarray(v, np.float32)
         np.savez(out_file, **arrays)
     return names
 
@@ -97,8 +169,11 @@ def evaluate_candidate(cfg: Config, cache_dir: str, names: List[str],
     with candidate post-processing parameters."""
     pipe, _, idx_to_class = _cached_pipeline(cfg)
     pipe.nms_sigma = sigma
-    if conf_thresh is not None:
-        pipe.conf_thresh = conf_thresh
+    # always assign: a conf_thresh=None candidate after a non-None one
+    # must restore the config default, not inherit the previous sweep
+    # value (the cached pipeline persists across candidates)
+    pipe.conf_thresh = (conf_thresh if conf_thresh is not None
+                        else cfg.get_path('testing.conf_thresh', 0.01))
     decode = _jitted_decode(pipe.clip_length, pipe.use_edl, pipe.os_head,
                             'dirichlet' if pipe.use_edl else 'softmax',
                             pipe.evidence, pipe.use_gcpl)
@@ -108,17 +183,23 @@ def evaluate_candidate(cfg: Config, cache_dir: str, names: List[str],
         out = {k: z[k] for k in RAW_KEYS if k in z.files}
         for k in RAW_KEYS:
             out.setdefault(k, None)
+        # caches store bucket-padded window rows (one decode jit shape
+        # per bucket, not per video); slice the real count after decode
+        n = int(z['n']) if 'n' in z.files else len(z['offsets'])
         dec = decode(out)
-        seconds = (np.asarray(dec.segments)
+        seconds = (np.asarray(dec.segments)[:n]
                    + z['offsets'][:, None, None]) / float(z['sample_fps'])
-        unct = (np.asarray(dec.uncertainty)
+        unct = (np.asarray(dec.uncertainty)[:n]
                 if dec.uncertainty is not None else None)
-        act = (np.asarray(dec.actionness)
+        act = (np.asarray(dec.actionness)[:n]
                if dec.actionness is not None else None)
-        results[name] = pipe._post_process(seconds, np.asarray(dec.scores),
+        results[name] = pipe._post_process(seconds,
+                                           np.asarray(dec.scores)[:n],
                                            unct, act)
+    tag = f'search_sigma_{sigma:.2f}' + (
+        f'_ct_{conf_thresh:g}' if conf_thresh is not None else '')
     pred = proposals_to_json(results, idx_to_class, workdir,
-                             f'search_sigma_{sigma:.2f}.json')
+                             tag + '.json')
     ev = DetectionEvaluator(gt_json, pred,
                             cfg.get_path('dataset.class_info_path'),
                             tiou_thresholds=np.asarray([0.3, 0.4, 0.5,
@@ -135,8 +216,11 @@ def _cached_pipeline(cfg: Config):
     from opental_tpu.tools.test import build_pipeline
     key = id(cfg)
     if key not in _PIPE_CACHE:
-        _PIPE_CACHE[key] = build_pipeline(cfg)
-    return _PIPE_CACHE[key]
+        # hold the cfg object too: keying by id() alone would let a
+        # garbage-collected Config's recycled id alias another config's
+        # pipeline (wrong weights, no error)
+        _PIPE_CACHE[key] = (cfg, build_pipeline(cfg))
+    return _PIPE_CACHE[key][1]
 
 
 def main(argv=None) -> None:

@@ -58,9 +58,21 @@ def restore(checkpoint_path: str, epoch: Optional[int] = None,
         path = os.path.join(os.path.abspath(checkpoint_path),
                             'checkpoint-latest')
         path = os.path.realpath(path)
-    restore_args = None
     if template is not None:
         payload_tmpl = {'state': template, 'epoch': np.asarray(0)}
+        # save() writes 'rng_key' whenever the loop passes one (it
+        # always does, loop.py save call) — the template must mirror
+        # the on-disk tree or orbax raises a structure mismatch and
+        # resume never works; probe the stored metadata so checkpoints
+        # saved without an rng_key (library callers) still restore
+        try:
+            meta = _checkpointer().metadata(path)
+            has_rng = 'rng_key' in meta.item_metadata.tree
+        except Exception:
+            has_rng = True
+        if has_rng:
+            payload_tmpl['rng_key'] = jax.device_get(
+                jax.random.PRNGKey(0))
         restored = _checkpointer().restore(path, item=payload_tmpl)
     else:
         restored = _checkpointer().restore(path)

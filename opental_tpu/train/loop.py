@@ -68,7 +68,10 @@ def init_state(cfg: Config, model, tx, rng_key,
                sample_clip_shape) -> TrainState:
     """Initialize params (glorot, as reference reset_params) and overlay
     the pretrained I3D backbone (thumos14/BDNet.py:448-452)."""
-    variables = model.init(rng_key, jnp.zeros(sample_clip_shape,
+    # jitted init: un-jitted tracing dispatches thousands of single ops,
+    # pathological through the remote-device tunnel (CLAUDE.md gotcha)
+    variables = jax.jit(model.init)(rng_key,
+                                    jnp.zeros(sample_clip_shape,
                                               jnp.float32))
     if model.arch == 'anet':
         # normal(0, 0.01) tower/head re-init on top of glorot

@@ -33,6 +33,20 @@ def test_train_test_eval_workflow(tmp_path):
                      jax.random.PRNGKey(0))
     assert os.path.isdir(path)
 
+    # resume: the template-restore branch (loop.py resume path) — the
+    # saved payload carries rng_key, and the restore template must
+    # mirror it (round-5 fix: a template without rng_key made orbax
+    # raise a tree-structure mismatch, so resume NEVER worked)
+    resume_cfg = cfg.clone()
+    resume_cfg['training']['resume'] = 1
+    resume_cfg['training']['max_epoch'] = 2
+    resumed = train(resume_cfg, max_steps_per_epoch=1)
+    assert int(resumed.step) == int(state.step) + 1
+    w0 = jax.tree_util.tree_leaves(state.params)[0]
+    w1 = jax.tree_util.tree_leaves(resumed.params)[0]
+    assert not np.array_equal(np.asarray(w0), np.asarray(w1)), \
+        'resumed epoch took no optimizer step'
+
     out_path = run_test(cfg)
     payload = json.load(open(out_path))
     assert set(payload) == {'version', 'results', 'external_data'}
@@ -132,3 +146,26 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         else restored.params
     np.testing.assert_array_equal(np.asarray(got['w']),
                                   np.asarray(params['w']))
+
+    # template branch (the loop's resume path): the template must
+    # mirror the saved payload's rng_key or orbax raises a structure
+    # mismatch (round-5 fix; previously resume always crashed)
+    template = TrainState(params=jax.tree_util.tree_map(jnp.zeros_like,
+                                                        params),
+                          constants={'c': jnp.zeros(2)},
+                          opt_state=tx.init(params),
+                          edl_state=EDLState.create(
+                              EDLConfig(num_classes=4)),
+                          step=jnp.asarray(0, jnp.int32))
+    restored_t, epoch_t, rng_t = ckpt.restore(path, 12, template)
+    assert epoch_t == 12 and rng_t is not None
+    np.testing.assert_array_equal(np.asarray(restored_t.params['w']),
+                                  np.asarray(params['w']))
+    np.testing.assert_array_equal(
+        np.asarray(restored_t.step), 7)
+
+    # and a checkpoint saved WITHOUT rng_key still template-restores
+    path2 = str(tmp_path / 'ckpts_norng')
+    ckpt.save(path2, 2, state)
+    _, epoch2, rng2 = ckpt.restore(path2, 2, template)
+    assert epoch2 == 2 and rng2 is None
